@@ -1,0 +1,10 @@
+"""nanocall_tpu: a TPU-native nanopore HMM basecalling framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the reference
+CPU basecaller nanocall (mateidavid/nanocall): fast5 event ingestion, 6-mer
+pore models, a 4096-state stay/step/skip HMM, per-read EM training of
+pore-model scaling and transition parameters, strand/hairpin detection, and
+batched Viterbi decoding to FASTA, data-parallel over a TPU device mesh.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,450 @@
+"""Batched HMM dynamic programs (Viterbi, forward-backward) as JAX scans.
+
+TPU-native rebuild of the reference's DP inner loops:
+  - Viterbi.hpp:44-150        (max-plus forward + traceback)
+  - Forward_Backward.hpp:46-135 (log-space alpha/beta)
+  - Forward_Backward_Custom.hpp:46-142 (per-step-normalized variant)
+
+Design: the per-event "gather over 21 from-neighbours" of the reference
+becomes a *reshape + repeat* on the state axis (see transitions.py for the
+slot algebra), so the hot scan body is pure VPU element-wise work on
+(B, 21, n_states) tiles with reductions over the 21-slot axis — no gathers,
+no dynamic shapes, lane dimension n_states = 4096 = 32*128.  Emissions are
+computed inside the scan step from per-event scalars (never materializing a
+T x n_states emission table in HBM for decoding).
+
+All kernels are batched over reads (leading B axis) and masked for
+variable-length padded sequences: a padded step leaves the DP carry
+unchanged, so the final carry equals the DP state at each read's true last
+event.
+
+Tie-breaking matches the reference exactly: Viterbi keeps the *lowest
+from-state index* among maxima (strict '>' over ascending from_v,
+Viterbi.hpp:79-89), implemented here as an argmin over masked from-state
+ids.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import transitions as trans_mod
+from ..pore_model import LOG_2PI
+
+NEG_INF = -np.inf
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("from_logp", "to_logp", "from_idx", "to_idx"),
+    meta_fields=("K",),
+)
+@dataclasses.dataclass(frozen=True)
+class TransOps:
+    """Device-side transition table. Exactly one of the two layouts is used:
+
+    structured: from_logp/to_logp (..., 21, n); from_idx/to_idx are None.
+    sparse:     from_logp/to_logp (deg, n) plus from_idx/to_idx (deg, n).
+
+    K is pytree metadata (static under jit).
+    """
+
+    from_logp: jax.Array
+    to_logp: jax.Array
+    from_idx: jax.Array | None
+    to_idx: jax.Array | None
+    K: int
+
+
+def make_trans_ops(t) -> TransOps:
+    if isinstance(t, trans_mod.StructuredTransitions):
+        return TransOps(
+            from_logp=jnp.asarray(t.from_logp),
+            to_logp=jnp.asarray(t.to_logp),
+            from_idx=None,
+            to_idx=None,
+            K=t.K,
+        )
+    return TransOps(
+        from_logp=jnp.asarray(t.from_logp),
+        to_logp=jnp.asarray(t.to_logp),
+        from_idx=jnp.asarray(t.from_idx),
+        to_idx=jnp.asarray(t.to_idx),
+        K=t.K,
+    )
+
+
+def make_trans_ops_batch(from_logp, to_logp, K: int) -> TransOps:
+    """Structured ops with per-batch tables (B, 21, n)."""
+    return TransOps(
+        from_logp=jnp.asarray(from_logp),
+        to_logp=jnp.asarray(to_logp),
+        from_idx=None,
+        to_idx=None,
+        K=K,
+    )
+
+
+# ---------------------------------------------------------------------------
+# slot algebra: neighbour-value expansion without gathers
+# ---------------------------------------------------------------------------
+
+
+def structured_from_vals(alpha: jax.Array, K: int) -> jax.Array:
+    """alpha (..., n) -> (..., 21, n) where slot k holds alpha[from_k(j)].
+
+    slot 0:      alpha[j]
+    slots 1+b:   alpha[(b << 2(K-1)) | (j >> 2)]  == repeat of a (4, n/4) view
+    slots 5+c:   alpha[(c << 2(K-2)) | (j >> 4)]  == repeat of a (16, n/16) view
+    """
+    n = alpha.shape[-1]
+    lead = alpha.shape[:-1]
+    a4 = alpha.reshape(lead + (4, n // 4))
+    v_step = jnp.broadcast_to(a4[..., :, :, None], lead + (4, n // 4, 4)).reshape(
+        lead + (4, n)
+    )
+    a16 = alpha.reshape(lead + (16, n // 16))
+    v_skip = jnp.broadcast_to(a16[..., :, :, None], lead + (16, n // 16, 16)).reshape(
+        lead + (16, n)
+    )
+    return jnp.concatenate([alpha[..., None, :], v_step, v_skip], axis=-2)
+
+
+def structured_to_vals(g: jax.Array, K: int) -> jax.Array:
+    """g (..., n) -> (..., 21, n) where slot k holds g[to_k(i)].
+
+    slot 0:      g[i]
+    slots 1+b:   g[((i mod n/4) << 2) | b]   == tile of a (n/4, 4) view
+    slots 5+c:   g[((i mod n/16) << 4) | c]  == tile of a (n/16, 16) view
+    """
+    n = g.shape[-1]
+    lead = g.shape[:-1]
+    c4 = g.reshape(lead + (n // 4, 4))  # c4[m, b] = g[4m + b]
+    # out[b, i] = c4[i mod n/4, b]: transpose then tile along the state axis
+    t4 = jnp.swapaxes(c4, -1, -2)  # (..., 4, n/4)
+    v_step = jnp.broadcast_to(t4[..., None, :], lead + (4, 4, n // 4)).reshape(
+        lead + (4, n)
+    )
+    c16 = g.reshape(lead + (n // 16, 16))
+    t16 = jnp.swapaxes(c16, -1, -2)  # (..., 16, n/16)
+    v_skip = jnp.broadcast_to(t16[..., None, :], lead + (16, 16, n // 16)).reshape(
+        lead + (16, n)
+    )
+    return jnp.concatenate([g[..., None, :], v_step, v_skip], axis=-2)
+
+
+def _from_vals(ops: TransOps, alpha: jax.Array) -> jax.Array:
+    if ops.from_idx is None:
+        return structured_from_vals(alpha, ops.K)
+    return alpha[..., ops.from_idx]  # (..., deg, n) gather
+
+
+def _to_vals(ops: TransOps, g: jax.Array) -> jax.Array:
+    if ops.to_idx is None:
+        return structured_to_vals(g, ops.K)
+    return g[..., ops.to_idx]
+
+
+def _slot_from_state(ops: TransOps) -> jax.Array:
+    """(S, n) int32 from-state ids per slot (for tie-breaking/traceback)."""
+    if ops.from_idx is None:
+        return jnp.asarray(trans_mod.slot_from_state(ops.K))
+    return ops.from_idx
+
+
+def from_state_of_slot(k: jax.Array, j: jax.Array, K: int) -> jax.Array:
+    """Invert the structured slot layout: the from-state of slot k at state j."""
+    step = ((k - 1) << (2 * (K - 1))) | (j >> 2)
+    skip = ((k - 5) << (2 * (K - 2))) | (j >> 4)
+    return jnp.where(k == 0, j, jnp.where(k <= 4, step, skip)).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# emissions
+# ---------------------------------------------------------------------------
+
+
+class ModelArrays(NamedTuple):
+    """Scaled pore-model tables on device; (..., n) float32 (broadcast
+    against the batch).  log_level_stdv / log_sd_lambda precomputed."""
+
+    level_mean: jax.Array
+    level_stdv: jax.Array
+    log_level_stdv: jax.Array
+    sd_mean: jax.Array
+    sd_lambda: jax.Array
+    log_sd_lambda: jax.Array
+
+
+def make_model_arrays(level_mean, level_stdv, sd_mean, sd_lambda) -> ModelArrays:
+    level_mean = jnp.asarray(level_mean, jnp.float32)
+    level_stdv = jnp.asarray(level_stdv, jnp.float32)
+    sd_mean = jnp.asarray(sd_mean, jnp.float32)
+    sd_lambda = jnp.asarray(sd_lambda, jnp.float32)
+    return ModelArrays(
+        level_mean=level_mean,
+        level_stdv=level_stdv,
+        log_level_stdv=jnp.log(level_stdv),
+        sd_mean=sd_mean,
+        sd_lambda=sd_lambda,
+        log_sd_lambda=jnp.log(sd_lambda),
+    )
+
+
+def log_emission(m: ModelArrays, ev_mean, ev_stdv, ev_log_stdv) -> jax.Array:
+    """log Pr[event | state] over all states (Pore_Model.hpp:24-40,140-149).
+
+    ev_*: (...,) scalars per batch element; model arrays (..., n).
+    Returns (..., n).
+    """
+    x = ev_mean[..., None]
+    a = (x - m.level_mean) / m.level_stdv
+    lnorm = -m.log_level_stdv - (LOG_2PI + a * a) * 0.5
+    y = ev_stdv[..., None]
+    b = (y - m.sd_mean) / m.sd_mean
+    linv = (
+        m.log_sd_lambda - LOG_2PI - 3.0 * ev_log_stdv[..., None] - m.sd_lambda * b * b / y
+    ) * 0.5
+    return lnorm + linv
+
+
+# ---------------------------------------------------------------------------
+# Viterbi
+# ---------------------------------------------------------------------------
+
+
+def viterbi_forward(ops: TransOps, model: ModelArrays, ev: dict):
+    """Max-plus forward pass (Viterbi.hpp:44-99), batched + masked.
+
+    ev: dict of (B, T) arrays {mean, stdv, log_stdv} + (B,) int32 'length'.
+    Returns (final_alpha (B, n), bp (T, B, n) uint8 slot ids).
+    bp[0] is unused (sentinel 0).
+    """
+    n = model.level_mean.shape[-1]
+    log_n = jnp.float32(math.log(n))
+    lengths = ev["length"]
+    B, T = ev["mean"].shape
+    slot_states = _slot_from_state(ops)  # (S, n) int32
+    big = jnp.int32(np.iinfo(np.int32).max)
+
+    em0 = log_emission(model, ev["mean"][:, 0], ev["stdv"][:, 0], ev["log_stdv"][:, 0])
+    alpha0 = em0 - log_n
+
+    xs = (
+        jnp.moveaxis(ev["mean"][:, 1:], 1, 0),
+        jnp.moveaxis(ev["stdv"][:, 1:], 1, 0),
+        jnp.moveaxis(ev["log_stdv"][:, 1:], 1, 0),
+        jnp.arange(1, T),
+    )
+
+    def step(alpha, x):
+        mean_t, stdv_t, log_stdv_t, t = x
+        vals = ops.from_logp + _from_vals(ops, alpha)  # (B, S, n)
+        best = jnp.max(vals, axis=-2)  # (B, n)
+        # tie-break: lowest from-state id among maxima (Viterbi.hpp:84)
+        masked_states = jnp.where(vals == best[..., None, :], slot_states, big)
+        bp = jnp.argmin(masked_states, axis=-2).astype(jnp.uint8)  # (B, n)
+        em = log_emission(model, mean_t, stdv_t, log_stdv_t)
+        new_alpha = best + em
+        active = (t < lengths)[:, None]
+        return jnp.where(active, new_alpha, alpha), bp
+
+    final_alpha, bps = jax.lax.scan(step, alpha0, xs)
+    bp_full = jnp.concatenate(
+        [jnp.zeros((1, B, n), dtype=jnp.uint8), bps], axis=0
+    )  # (T, B, n)
+    return final_alpha, bp_full
+
+
+def viterbi_traceback(ops: TransOps, final_alpha, bp, lengths):
+    """Traceback (Viterbi.hpp:120-142): returns (path (B, T) int32,
+    path_logp (B,) float32).  Entries at t >= length are clamped to the
+    first real state of the suffix (harmless; callers mask by length)."""
+    T, B, n = bp.shape
+    K = ops.K
+    # end state: argmax, first occurrence = lowest index (Viterbi.hpp:125-131)
+    end_state = jnp.argmax(final_alpha, axis=-1).astype(jnp.int32)  # (B,)
+    path_logp = jnp.max(final_alpha, axis=-1)
+    sparse = ops.from_idx is not None
+    if sparse:
+        from_idx = ops.from_idx  # (S, n)
+
+    def step(s, x):
+        bp_t, t = x  # bp_t (B, n) uint8
+        s_eff = jnp.where(t == lengths - 1, end_state, s)
+        k = jnp.take_along_axis(bp_t, s_eff[:, None], axis=1)[:, 0].astype(jnp.int32)
+        if sparse:
+            s_prev = from_idx[k, s_eff]
+        else:
+            s_prev = from_state_of_slot(k, s_eff, K)
+        s_new = jnp.where((t <= lengths - 1) & (t > 0), s_prev, s_eff)
+        return s_new, s_eff
+
+    xs = (bp[1:][::-1], jnp.arange(T - 1, 0, -1))
+    s_last, path_rev = jax.lax.scan(step, end_state, xs)
+    path = jnp.concatenate([s_last[None, :], path_rev[::-1]], axis=0)  # (T, B)
+    return jnp.moveaxis(path, 0, 1), path_logp
+
+
+@functools.partial(jax.jit, static_argnames=("with_path",))
+def viterbi_decode(ops: TransOps, model: ModelArrays, ev: dict, with_path: bool = True):
+    """Full Viterbi decode: returns dict {path (B,T) int32, logp (B,)}."""
+    final_alpha, bp = viterbi_forward(ops, model, ev)
+    if not with_path:
+        return {"logp": jnp.max(final_alpha, axis=-1)}
+    path, logp = viterbi_traceback(ops, final_alpha, bp, ev["length"])
+    return {"path": path, "logp": logp}
+
+
+# ---------------------------------------------------------------------------
+# Forward-backward
+# ---------------------------------------------------------------------------
+
+
+def _logsumexp_slots(vals):
+    """logsumexp over the slot axis (-2), -inf-safe."""
+    m = jnp.max(vals, axis=-2)
+    safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
+    s = jnp.sum(jnp.exp(vals - safe_m[..., None, :]), axis=-2)
+    return jnp.where(jnp.isfinite(m), safe_m + jnp.log(s), m)
+
+
+def fwbw(ops: TransOps, model: ModelArrays, ev: dict, keep_emissions: bool = False):
+    """Exact log-space forward-backward (Forward_Backward.hpp:46-135).
+
+    Returns dict:
+      alpha (B, T, n), beta (B, T, n), log_pr_data (B,),
+      em (B, T, n) if keep_emissions (needed by the EM trainer).
+    Padded steps: alpha frozen at last real value is NOT stored (alphas at
+    t >= length are garbage; mask by length), beta forced to 0 at
+    t >= length-1.
+    """
+    n = model.level_mean.shape[-1]
+    log_n = jnp.float32(math.log(n))
+    lengths = ev["length"]
+    B, T = ev["mean"].shape
+
+    means = jnp.moveaxis(ev["mean"], 1, 0)
+    stdvs = jnp.moveaxis(ev["stdv"], 1, 0)
+    log_stdvs = jnp.moveaxis(ev["log_stdv"], 1, 0)
+
+    em0 = log_emission(model, means[0], stdvs[0], log_stdvs[0])
+    alpha0 = em0 - log_n
+
+    def fwd_step(alpha, x):
+        mean_t, stdv_t, log_stdv_t, t = x
+        vals = ops.from_logp + _from_vals(ops, alpha)
+        em = log_emission(model, mean_t, stdv_t, log_stdv_t)
+        new_alpha = em + _logsumexp_slots(vals)
+        active = (t < lengths)[:, None]
+        alpha_carry = jnp.where(active, new_alpha, alpha)
+        return alpha_carry, (alpha_carry, em)
+
+    xs = (means[1:], stdvs[1:], log_stdvs[1:], jnp.arange(1, T))
+    final_alpha, (alphas_rest, ems_rest) = jax.lax.scan(fwd_step, alpha0, xs)
+    alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)  # (T, B, n)
+    ems = jnp.concatenate([em0[None], ems_rest], axis=0)
+
+    # log_pr_data: logsumexp over states of the final (length-1) alpha
+    m = jnp.max(final_alpha, axis=-1)
+    log_pr_data = m + jnp.log(jnp.sum(jnp.exp(final_alpha - m[:, None]), axis=-1))
+
+    # backward: beta[t] = logsum_to(logp + em[t+1] + beta[t+1]); beta = 0 at
+    # t >= length-1 (Forward_Backward.hpp:93-125)
+    beta_init = jnp.zeros((B, n), dtype=jnp.float32)
+
+    def bwd_step(beta, x):
+        em_next, t = x  # em at t+1
+        g = em_next + beta
+        vals = ops.to_logp + _to_vals(ops, g)
+        cand = _logsumexp_slots(vals)
+        new_beta = jnp.where((t >= lengths - 1)[:, None], 0.0, cand)
+        return new_beta, new_beta
+
+    xs_b = (ems[1:][::-1], jnp.arange(T - 2, -1, -1))
+    _, betas_rev = jax.lax.scan(bwd_step, beta_init, xs_b)
+    betas = jnp.concatenate([betas_rev[::-1], beta_init[None]], axis=0)  # (T, B, n)
+
+    out = {
+        "alpha": jnp.moveaxis(alphas, 0, 1),
+        "beta": jnp.moveaxis(betas, 0, 1),
+        "log_pr_data": log_pr_data,
+    }
+    if keep_emissions:
+        out["em"] = jnp.moveaxis(ems, 0, 1)
+    return out
+
+
+fwbw_jit = jax.jit(fwbw, static_argnames=("keep_emissions",))
+
+
+def fwbw_custom(ops: TransOps, model: ModelArrays, ev: dict):
+    """Per-step-normalized forward-backward
+    (Forward_Backward_Custom.hpp:46-142).
+
+    alpha[i,j] = Pr[S_i=j | e_1..e_{i-1}], beta[i,j] = Pr[S_i=j | e_1..e_i],
+    gamma[i,j] = Pr[S_i=j | e_1..e_n]; all in log space.
+    Returns dict {alpha, beta, gamma} of (B, T, n).
+    """
+    n = model.level_mean.shape[-1]
+    log_n = jnp.float32(math.log(n))
+    lengths = ev["length"]
+    B, T = ev["mean"].shape
+
+    means = jnp.moveaxis(ev["mean"], 1, 0)
+    stdvs = jnp.moveaxis(ev["stdv"], 1, 0)
+    log_stdvs = jnp.moveaxis(ev["log_stdv"], 1, 0)
+
+    def norm(x):
+        m = jnp.max(x, axis=-1, keepdims=True)
+        return x - (m + jnp.log(jnp.sum(jnp.exp(x - m), axis=-1, keepdims=True)))
+
+    alpha0 = jnp.full((B, n), -log_n, dtype=jnp.float32)
+    em0 = log_emission(model, means[0], stdvs[0], log_stdvs[0])
+    beta0 = norm(em0 + alpha0)
+
+    def fwd_step(beta, x):
+        mean_t, stdv_t, log_stdv_t, t = x
+        vals = ops.from_logp + _from_vals(ops, beta)
+        alpha_t = _logsumexp_slots(vals)
+        em = log_emission(model, mean_t, stdv_t, log_stdv_t)
+        beta_t = norm(em + alpha_t)
+        active = (t < lengths)[:, None]
+        beta_carry = jnp.where(active, beta_t, beta)
+        return beta_carry, (alpha_t, beta_carry)
+
+    xs = (means[1:], stdvs[1:], log_stdvs[1:], jnp.arange(1, T))
+    beta_last, (alphas_rest, betas_rest) = jax.lax.scan(fwd_step, beta0, xs)
+    alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)
+    betas = jnp.concatenate([beta0[None], betas_rest], axis=0)
+
+    # gamma backward: gamma[i] = beta[i] + logsum_to(logp + gamma[i+1] - alpha[i+1])
+    gamma_init = beta_last
+
+    def bwd_step(gamma, x):
+        alpha_next, beta_t, t = x
+        g = gamma - alpha_next
+        vals = ops.to_logp + _to_vals(ops, g)
+        cand = beta_t + _logsumexp_slots(vals)
+        new_gamma = jnp.where((t >= lengths - 1)[:, None], beta_t, cand)
+        return new_gamma, new_gamma
+
+    xs_b = (alphas[1:][::-1], betas[:-1][::-1], jnp.arange(T - 2, -1, -1))
+    _, gammas_rev = jax.lax.scan(bwd_step, gamma_init, xs_b)
+    gammas = jnp.concatenate([gammas_rev[::-1], gamma_init[None]], axis=0)
+
+    return {
+        "alpha": jnp.moveaxis(alphas, 0, 1),
+        "beta": jnp.moveaxis(betas, 0, 1),
+        "gamma": jnp.moveaxis(gammas, 0, 1),
+    }
+
+
+fwbw_custom_jit = jax.jit(fwbw_custom)

@@ -1,0 +1,162 @@
+"""Golden tests: JAX HMM kernels vs the scalar numpy oracle."""
+
+import numpy as np
+import pytest
+
+import oracle
+from nanocall_tpu import events, kmer, transitions
+from nanocall_tpu.ops import hmm
+
+
+def random_model_arrays(K, rng):
+    n = kmer.n_states(K)
+    lm = rng.uniform(40.0, 90.0, n).astype(np.float32)
+    ls = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    sm = rng.uniform(0.5, 1.5, n).astype(np.float32)
+    slam = (sm**3 / rng.uniform(0.1, 0.4, n).astype(np.float32) ** 2).astype(np.float32)
+    return lm, ls, sm, slam
+
+
+def random_events(T, rng, lm):
+    mean = rng.choice(lm, T) + rng.normal(0, 1.0, T)
+    stdv = rng.uniform(0.5, 1.5, T)
+    start = np.cumsum(rng.uniform(0.01, 0.05, T))
+    length = rng.uniform(0.01, 0.05, T)
+    return events.EventSequence(mean=mean, stdv=stdv, start=start, length=length)
+
+
+@pytest.fixture(scope="module")
+def setup_k3():
+    K = 3
+    rng = np.random.default_rng(42)
+    st = transitions.build_structured(K=K)
+    pm = random_model_arrays(K, rng)
+    seqs = [random_events(T, rng, pm[0]) for T in (17, 31, 9, 31)]
+    return K, st, pm, seqs
+
+
+def test_viterbi_matches_oracle(setup_k3):
+    K, st, pm, seqs = setup_k3
+    M = oracle.dense_logp(st, K)
+    batch = events.pad_batch(seqs)
+    ops = hmm.make_trans_ops(st)
+    model = hmm.make_model_arrays(*pm)
+    out = hmm.viterbi_decode(ops, model, batch)
+    for b, ev in enumerate(seqs):
+        em = oracle.emissions(pm, ev)
+        path_ref, logp_ref = oracle.viterbi(M, em)
+        T = len(ev)
+        path = np.asarray(out["path"])[b, :T]
+        assert np.array_equal(path, path_ref), f"path mismatch seq {b}"
+        assert np.isclose(float(out["logp"][b]), logp_ref, rtol=1e-4)
+
+
+def test_viterbi_sparse_matches_structured(setup_k3):
+    K, st, pm, seqs = setup_k3
+    # same table via the generic sparse/gather path
+    sp = transitions.sparse_from_pairs(list(transitions.structured_to_pairs(st)), K)
+    batch = events.pad_batch(seqs)
+    model = hmm.make_model_arrays(*pm)
+    out_s = hmm.viterbi_decode(hmm.make_trans_ops(st), model, batch)
+    out_g = hmm.viterbi_decode(hmm.make_trans_ops(sp), model, batch)
+    assert np.array_equal(np.asarray(out_s["path"]), np.asarray(out_g["path"]))
+    assert np.allclose(np.asarray(out_s["logp"]), np.asarray(out_g["logp"]), rtol=1e-5)
+
+
+def test_fwbw_matches_oracle(setup_k3):
+    K, st, pm, seqs = setup_k3
+    M = oracle.dense_logp(st, K)
+    batch = events.pad_batch(seqs)
+    ops = hmm.make_trans_ops(st)
+    model = hmm.make_model_arrays(*pm)
+    out = hmm.fwbw_jit(ops, model, batch)
+    for b, ev in enumerate(seqs):
+        em = oracle.emissions(pm, ev)
+        a_ref, b_ref, lpd_ref = oracle.fwbw(M, em)
+        T = len(ev)
+        assert np.allclose(np.asarray(out["alpha"])[b, :T], a_ref, atol=1e-3)
+        assert np.allclose(np.asarray(out["beta"])[b, :T], b_ref, atol=1e-3)
+        assert np.isclose(float(out["log_pr_data"][b]), lpd_ref, rtol=1e-5, atol=1e-3)
+
+
+def test_fwbw_posteriors_sum_to_one(setup_k3):
+    K, st, pm, seqs = setup_k3
+    batch = events.pad_batch(seqs)
+    ops = hmm.make_trans_ops(st)
+    model = hmm.make_model_arrays(*pm)
+    out = hmm.fwbw_jit(ops, model, batch)
+    for b, ev in enumerate(seqs):
+        T = len(ev)
+        lp = (
+            np.asarray(out["alpha"])[b, :T]
+            + np.asarray(out["beta"])[b, :T]
+            - float(out["log_pr_data"][b])
+        )
+        sums = np.exp(lp).sum(axis=1)
+        assert np.allclose(sums, 1.0, atol=1e-3)
+
+
+def test_viterbi_logp_below_data_logp(setup_k3):
+    K, st, pm, seqs = setup_k3
+    batch = events.pad_batch(seqs)
+    ops = hmm.make_trans_ops(st)
+    model = hmm.make_model_arrays(*pm)
+    v = hmm.viterbi_decode(ops, model, batch, with_path=False)
+    f = hmm.fwbw_jit(ops, model, batch)
+    assert (np.asarray(v["logp"]) <= np.asarray(f["log_pr_data"]) + 1e-3).all()
+
+
+def test_batch_padding_invariance(setup_k3):
+    """Results for a sequence must not depend on batch padding context."""
+    K, st, pm, seqs = setup_k3
+    ops = hmm.make_trans_ops(st)
+    model = hmm.make_model_arrays(*pm)
+    full = hmm.viterbi_decode(ops, model, events.pad_batch(seqs))
+    for b, ev in enumerate(seqs):
+        solo = hmm.viterbi_decode(ops, model, events.pad_batch([ev], pad_to=64))
+        T = len(ev)
+        assert np.array_equal(
+            np.asarray(full["path"])[b, :T], np.asarray(solo["path"])[0, :T]
+        )
+        assert np.isclose(float(full["logp"][b]), float(solo["logp"][0]), rtol=1e-5)
+
+
+def test_fwbw_custom_matches_oracle(setup_k3):
+    K, st, pm, seqs = setup_k3
+    M = oracle.dense_logp(st, K)
+    batch = events.pad_batch(seqs[:2])
+    ops = hmm.make_trans_ops(st)
+    model = hmm.make_model_arrays(*pm)
+    out = hmm.fwbw_custom_jit(ops, model, batch)
+    for b, ev in enumerate(seqs[:2]):
+        em = oracle.emissions(pm, ev)
+        a_ref, b_ref, g_ref = oracle.fwbw_custom(M, em)
+        T = len(ev)
+        assert np.allclose(np.asarray(out["alpha"])[b, :T], a_ref, atol=1e-3)
+        assert np.allclose(np.asarray(out["beta"])[b, :T], b_ref, atol=1e-3)
+        assert np.allclose(np.asarray(out["gamma"])[b, :T], g_ref, atol=1e-3)
+        # gamma rows are normalized posteriors
+        assert np.allclose(np.exp(g_ref).sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_per_batch_transition_tables(setup_k3):
+    """Batched per-read transition tables give the same result as building
+    each table separately."""
+    K, st, pm, seqs = setup_k3
+    params = np.array([[0.1, 0.3], [0.15, 0.2], [0.07, 0.35], [0.1, 0.3]])
+    fb, tb = transitions.build_structured_batch(params, K)
+    ops_b = hmm.make_trans_ops_batch(fb, tb, K)
+    model = hmm.make_model_arrays(*pm)
+    batch = events.pad_batch(seqs)
+    out_b = hmm.viterbi_decode(ops_b, model, batch)
+    for b, ev in enumerate(seqs):
+        st_i = transitions.build_structured(
+            transitions.TransitionParams(params[b, 0], params[b, 1]), K
+        )
+        solo = hmm.viterbi_decode(
+            hmm.make_trans_ops(st_i), model, events.pad_batch([ev])
+        )
+        T = len(ev)
+        assert np.array_equal(
+            np.asarray(out_b["path"])[b, :T], np.asarray(solo["path"])[0, :T]
+        )
