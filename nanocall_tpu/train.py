@@ -1,0 +1,464 @@
+"""Per-read EM training of pore-model scaling and transition parameters.
+
+TPU-native rebuild of /root/reference/src/nanocall/Parameter_Trainer.hpp and
+the EM driver loops of nanocall.cpp:275-582.
+
+One *training group* = one (read, model-candidate) pair, holding up to S
+training event subsequences (2 per strand: the first and last
+scaling_num_events/2 events, nanocall.cpp:327-338), per-strand unscaled
+pore models, shared pore-model scaling params, and per-strand transition
+params.  A whole bucket of G groups trains simultaneously:
+
+  - E-step: batched forward-backward over the (G*S, T) padded sequences
+    (fwbw kernel, ops/hmm.py), emissions kept for the M-step.
+  - M-step (scaling): the per-event sufficient statistics
+    s0..s2/l0..l2 (Parameter_Trainer.hpp:273-296) are one posterior x
+    state-weight matmul on the MXU; the 3x3 weighted-least-squares system
+    is solved with the reference's scaled-partial-pivot Gaussian
+    elimination (Parameter_Trainer.hpp:322-402), vectorized over groups,
+    including its singularity detection (pivot < 1e-7 -> done).
+  - M-step (transitions): posterior stay/step joint probabilities over the
+    overlap-free kmer subset (Parameter_Trainer.hpp:30-57,434-532) as
+    masked log-sum-exp reductions.
+
+The data-dependent stopping rules (fit regression -> revert, min-progress,
+singularity; nanocall.cpp:367-426) run on host over the small per-group
+scalars, with per-group 'frozen' masks — device rounds always process the
+full bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import kmer, transitions
+from .ops import hmm
+
+PIVOT_EPS = 1e-7  # Parameter_Trainer.hpp:355
+ST_CLAMP_LO = 0.05  # Parameter_Trainer.hpp:518-525
+ST_CLAMP_HI = 0.4
+
+
+@functools.lru_cache(maxsize=None)
+def st_train_kmers(K: int) -> np.ndarray:
+    """States used for transition training (Parameter_Trainer.hpp:30-57):
+    self-overlap 0, and all 1-step successors have self-overlap <= 1."""
+    mso = kmer.max_self_overlap(K)
+    nl1 = kmer.neighbour_list(K, 1)
+    good = (mso == 0) & (mso[nl1] <= 1).all(axis=1)
+    return np.nonzero(good)[0].astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def st_train_neighbours(K: int) -> np.ndarray:
+    """(n_train, 4) 1-step successors of each training k-mer."""
+    return kmer.neighbour_list(K, 1)[st_train_kmers(K)]
+
+
+def _solve3_pivoted(A, B, train_drift: bool):
+    """Vectorized 3x3 Gaussian elimination with scaled partial pivoting,
+    mirroring Parameter_Trainer.hpp:322-390.
+
+    A: (G, 3, 3), B: (G, 3).  Returns (x (G, 3) with x=[shift, scale,
+    drift], done (G,) bool singular flags).
+    """
+    G = A.shape[0]
+    C = jnp.max(A, axis=2)  # scaling vector; A > 0, no abs needed (hpp:328)
+    done = jnp.zeros(G, dtype=bool)
+    for i in range(3):
+        # pick pivot row among i..2 maximizing |A[r,i]|/C[r]
+        vals = jnp.abs(A[:, :, i]) / C  # (G, 3)
+        mask = jnp.arange(3) >= i
+        vals = jnp.where(mask, vals, -jnp.inf)
+        # argmax keeps the FIRST maximum; the reference uses strict '>'
+        # (hpp:346), also keeping the first -> match
+        p = jnp.argmax(vals, axis=1)  # (G,)
+        p_val = jnp.take_along_axis(vals, p[:, None], axis=1)[:, 0]
+        done = done | (p_val < PIVOT_EPS)
+        # swap rows i and p: permutation = identity with i <-> p exchanged
+        idx = jnp.broadcast_to(jnp.arange(3, dtype=jnp.int32)[None, :], (G, 3))
+        idx_i = jnp.full((G, 1), i, dtype=jnp.int32)
+        p_col = p[:, None].astype(jnp.int32)
+        swap_to = jnp.where(idx == idx_i, p_col, idx)
+        swap_to = jnp.where(idx == p_col, idx_i, swap_to)
+        A = jnp.take_along_axis(A, swap_to[:, :, None], axis=1)
+        B = jnp.take_along_axis(B, swap_to, axis=1)
+        C = jnp.take_along_axis(C, swap_to, axis=1)
+        # eliminate column i from rows > i
+        pivot = A[:, i, i]
+        safe_pivot = jnp.where(jnp.abs(pivot) > 0, pivot, 1.0)
+        for r in range(i + 1, 3):
+            m = A[:, r, i] / safe_pivot
+            newrow = A[:, r, :] - m[:, None] * A[:, i, :]
+            newrow = newrow.at[:, i].set(0.0)
+            A = A.at[:, r, :].set(newrow)
+            B = B.at[:, r].set(B[:, r] - m * B[:, i])
+    # back substitution (hpp:388-390): x order [shift(a), scale(b), drift(c)]
+    A22 = jnp.where(jnp.abs(A[:, 2, 2]) > 0, A[:, 2, 2], 1.0)
+    c = B[:, 2] / A22
+    A11 = jnp.where(jnp.abs(A[:, 1, 1]) > 0, A[:, 1, 1], 1.0)
+    b = (B[:, 1] - A[:, 1, 2] * c) / A11
+    A00 = jnp.where(jnp.abs(A[:, 0, 0]) > 0, A[:, 0, 0], 1.0)
+    a = (B[:, 0] - A[:, 0, 1] * b - A[:, 0, 2] * c) / A00
+    if not train_drift:
+        c = jnp.zeros_like(c)
+    return jnp.stack([a, b, c], axis=-1), done
+
+
+def _masked_lse(x, mask, axes):
+    """logsumexp of x where mask, over axes; -inf if empty."""
+    x = jnp.where(mask, x, -jnp.inf)
+    m = jnp.max(x, axis=axes)
+    safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    s = jnp.sum(jnp.exp(x - jnp.expand_dims(safe, axes)), axis=axes)
+    return jnp.where(jnp.isfinite(m), safe + jnp.log(s), m)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("K", "train_drift", "train_scaling", "train_transitions")
+)
+def train_one_round(
+    ev: dict,
+    models: dict,
+    pm_params: jax.Array,
+    st_params: jax.Array,
+    K: int = 6,
+    train_drift: bool = True,
+    train_scaling: bool = True,
+    train_transitions: bool = True,
+):
+    """One EM round over a bucket of training groups
+    (Parameter_Trainer::train_one_round, hpp:541-579).
+
+    Args:
+      ev: dict of (G, S, T) float32 arrays {mean, stdv, log_stdv, start} plus
+          (G, S) int32 'length', (G, S) int32 'strand', (G, S) bool 'valid'.
+          'mean' is the UNCORRECTED event mean (drift correction is applied
+          inside, from the current pm_params).
+      models: dict of (G, 2, n) float32 unscaled model arrays
+          {level_mean, level_stdv, sd_mean, sd_lambda} (index 1 = strand).
+      pm_params: (G, 6) current scaling params rows
+          (scale, shift, drift, var, scale_sd, var_sd).
+      st_params: (G, 2, 2) current transition params (p_stay, p_skip) per strand.
+
+    Returns dict with:
+      fit (G,): sum of log_pr_data under the CURRENT params,
+      new_pm_params (G, 6), done (G,) singularity flags,
+      new_st_params (G, 2, 2).
+    """
+    G, S, T = ev["mean"].shape
+    n = models["level_mean"].shape[-1]
+
+    # --- scale models with current params (fill_train_data, hpp:101-114)
+    from .pore_model import scale_arrays
+
+    lm_s, ls_s, sm_s, slam_s = scale_arrays(
+        models["level_mean"],
+        models["level_stdv"],
+        models["sd_mean"],
+        models["sd_lambda"],
+        pm_params[:, None, :],
+    )
+
+    # --- per-strand transition tables from current st params (hpp:117-133)
+    from_tbl, to_tbl = transitions.device_structured_tables(
+        st_params[..., 0], st_params[..., 1], K
+    )  # (G, 2, 21, n)
+
+    # --- gather per-sequence model/tables by strand tag
+    strand = ev["strand"]  # (G, S)
+    st_idx = strand[:, :, None]
+
+    def sel(a):  # (G, 2, n) -> (G, S, n)
+        return jnp.take_along_axis(a, st_idx, axis=1)
+
+    lm_seq, ls_seq, sm_seq, slam_seq = sel(lm_s), sel(ls_s), sel(sm_s), sel(slam_s)
+    ft_seq = jnp.take_along_axis(from_tbl, st_idx[..., None], axis=1)  # (G,S,21,n)
+    tt_seq = jnp.take_along_axis(to_tbl, st_idx[..., None], axis=1)
+
+    # --- drift-corrected events (hpp:147-149); flatten groups x seqs
+    drift = pm_params[:, 2][:, None, None]
+    B = G * S
+    corrected = ev["mean"] - drift * ev["start"]
+    ev_flat = {
+        "mean": corrected.reshape(B, T),
+        "stdv": ev["stdv"].reshape(B, T),
+        "log_stdv": ev["log_stdv"].reshape(B, T),
+        "length": ev["length"].reshape(B),
+    }
+    model_flat = hmm.make_model_arrays(
+        lm_seq.reshape(B, n), ls_seq.reshape(B, n), sm_seq.reshape(B, n),
+        slam_seq.reshape(B, n),
+    )
+    ops = hmm.make_trans_ops_batch(
+        ft_seq.reshape(B, transitions.N_SLOTS, n),
+        tt_seq.reshape(B, transitions.N_SLOTS, n),
+        K,
+    )
+
+    # --- E-step
+    fb = hmm.fwbw(ops, model_flat, ev_flat, keep_emissions=True)
+    alpha, beta, em = fb["alpha"], fb["beta"], fb["em"]  # (B, T, n)
+    lpd = fb["log_pr_data"]  # (B,)
+
+    valid = ev["valid"].reshape(B)
+    fit = jnp.sum(jnp.where(valid, lpd.reshape(G, S), 0.0), axis=1)
+
+    out = {"fit": fit}
+
+    # event-validity weights (B, T)
+    t_idx = jnp.arange(T)[None, :]
+    w = (t_idx < ev_flat["length"][:, None]) & valid[:, None]
+
+    if train_scaling:
+        # posteriors, zeroed outside valid events (hpp:278)
+        post = jnp.exp(alpha + beta - lpd[:, None, None]) * w[:, :, None]
+
+        # state weight matrix from UNSCALED models (hpp:279-284)
+        lm_u, ls_u, sm_u, slam_u = (
+            sel(models["level_mean"]).reshape(B, n),
+            sel(models["level_stdv"]).reshape(B, n),
+            sel(models["sd_mean"]).reshape(B, n),
+            sel(models["sd_lambda"]).reshape(B, n),
+        )
+        w_s0 = 1.0 / (ls_u * ls_u)
+        w_s1 = w_s0 * lm_u
+        w_s2 = w_s1 * lm_u
+        w_l0 = slam_u
+        w_l1 = w_l0 / sm_u
+        w_l2 = w_l1 / sm_u
+        W = jnp.stack([w_s0, w_s1, w_s2, w_l0, w_l1, w_l2], axis=-1)  # (B, n, 6)
+        stats = jnp.einsum(
+            "btn,bnk->btk", post, W,
+            preferred_element_type=jnp.float32, precision="highest",
+        )  # (B, T, 6): s0 s1 s2 l0 l1 l2 per event
+        s0, s1, s2 = stats[..., 0], stats[..., 1], stats[..., 2]
+        l0, l1, l2 = stats[..., 3], stats[..., 4], stats[..., 5]
+
+        x = ev["mean"].reshape(B, T)  # uncorrected mean (hpp:265)
+        t_ = ev["start"].reshape(B, T)
+        y = ev["stdv"].reshape(B, T)
+        wf = w.astype(jnp.float32)
+
+        def acc(v):  # sum over seqs+events per group
+            return jnp.sum((v * wf).reshape(G, S, T), axis=(1, 2))
+
+        A00, A01, A11 = acc(s0), acc(s1), acc(s2)
+        B0, B1 = acc(s0 * x), acc(s1 * x)
+        if train_drift:
+            A02, A12 = acc(s0 * t_), acc(s1 * t_)
+            A22 = acc(s0 * t_ * t_)
+            B2 = acc(s0 * x * t_)
+        else:
+            Z = jnp.zeros_like(A00)
+            A02, A12, B2 = Z, Z, Z
+            A22 = jnp.ones_like(A00)  # hpp:318-321
+        D = acc(s0 * x * x)
+        V_numer, V_denom = acc(l2 * y), acc(l1)
+        U_pos = acc(l0 / y)
+        n_events_tot = jnp.sum(wf.reshape(G, S, T), axis=(1, 2))
+
+        A = jnp.stack(
+            [
+                jnp.stack([A00, A01, A02], axis=-1),
+                jnp.stack([A01, A11, A12], axis=-1),
+                jnp.stack([A02, A12, A22], axis=-1),
+            ],
+            axis=-2,
+        )  # (G, 3, 3)
+        Bv = jnp.stack([B0, B1, B2], axis=-1)
+
+        x_hat, done = _solve3_pivoted(A, Bv, train_drift)
+        a_hat, b_hat, c_hat = x_hat[:, 0], x_hat[:, 1], x_hat[:, 2]
+
+        # var update (hpp:406-418)
+        d_numer = (
+            D
+            + a_hat**2 * A00
+            + b_hat**2 * A11
+            + c_hat**2 * A22
+            + 2.0 * a_hat * b_hat * A01
+            + 2.0 * a_hat * c_hat * A02
+            + 2.0 * b_hat * c_hat * A12
+            - 2.0 * (a_hat * B0 + b_hat * B1 + c_hat * B2)
+        )
+        d_hat = jnp.sqrt(d_numer / n_events_tot)
+        v_hat = V_numer / V_denom  # scale_sd (hpp:422)
+        u_hat = n_events_tot / (U_pos - V_denom / v_hat)  # var_sd (hpp:426)
+
+        new_pm = jnp.stack([b_hat, a_hat, c_hat, d_hat, v_hat, u_hat], axis=-1)
+        # on singularity, keep current params (hpp:354-360)
+        new_pm = jnp.where(done[:, None], pm_params, new_pm)
+        out["new_pm_params"] = new_pm
+        out["done"] = done
+    else:
+        out["new_pm_params"] = pm_params
+        out["done"] = jnp.zeros(G, dtype=bool)
+
+    if train_transitions:
+        out["new_st_params"] = _train_st_params(
+            alpha, beta, em, lpd, w, ev, st_params, K, G, S, T
+        )
+    else:
+        out["new_st_params"] = st_params
+    return out
+
+
+def _train_st_params(alpha, beta, em, lpd, w, ev, st_params, K, G, S, T):
+    """Posterior-ratio estimation of p_stay/p_skip
+    (Parameter_Trainer.hpp:434-532), vectorized over groups/strands."""
+    sk = jnp.asarray(st_train_kmers(K))  # (J,)
+    nbr = jnp.asarray(st_train_neighbours(K))  # (J, 4)
+    B = G * S
+    lpd_b = lpd[:, None, None]
+
+    # slices over the training k-mer subset
+    a_i = alpha[:, :-1, :][:, :, sk]  # (B, T-1, J)
+    b_i = beta[:, :-1, :][:, :, sk]
+    b_n = beta[:, 1:, :][:, :, sk]
+    e_n = em[:, 1:, :][:, :, sk]
+
+    lp_j1 = a_i + b_i - lpd_b  # log Pr[S_i = j1]
+
+    strand = ev["strand"]  # (G, S)
+    p_stay_cur = jnp.take_along_axis(st_params[..., 0], strand, axis=1)  # (G, S)
+    p_skip_cur = jnp.take_along_axis(st_params[..., 1], strand, axis=1)
+    log_p_stay = jnp.log(p_stay_cur).reshape(B)[:, None, None]
+    log_p_step_4 = (jnp.log(1.0 - p_stay_cur - p_skip_cur) - jnp.log(4.0)).reshape(B)[
+        :, None, None
+    ]
+
+    # stay joint: alpha_i + p_stay + em_{i+1}(j1) + beta_{i+1}(j1) - lpd,
+    # clamped to <= lp_j1 (hpp:479-488)
+    lp_stay = jnp.minimum(a_i + log_p_stay + e_n + b_n - lpd_b, lp_j1)
+
+    # step joints to the 4 distance-1 successors (hpp:493-499)
+    e_n4 = em[:, 1:, :][:, :, nbr]  # (B, T-1, J, 4)
+    b_n4 = beta[:, 1:, :][:, :, nbr]
+    lp_step = a_i[..., None] + log_p_step_4[..., None] + e_n4 + b_n4 - lpd_b[..., None]
+
+    # lp_d01 = logsumexp(stay, 4 steps), clamped to <= lp_j1 (hpp:491-510)
+    cat = jnp.concatenate([lp_stay[..., None], lp_step], axis=-1)  # (B, T-1, J, 5)
+    m = jnp.max(cat, axis=-1)
+    safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    lp_d01 = jnp.where(
+        jnp.isfinite(m),
+        safe + jnp.log(jnp.sum(jnp.exp(cat - safe[..., None]), axis=-1)),
+        m,
+    )
+    lp_d01 = jnp.minimum(lp_d01, lp_j1)
+
+    # skip mass: Pr[j1] - Pr[d <= 1] (hpp:511-512), >= 0 by the clamps
+    p_d2 = jnp.maximum(jnp.exp(lp_j1) - jnp.exp(lp_d01), 0.0)
+    lp_d2 = jnp.log(p_d2)
+
+    # masks: transitions need events i and i+1 valid (i < len-1)
+    t_idx = jnp.arange(T - 1)[None, :]
+    w_tr = (t_idx < ev["length"].reshape(B)[:, None] - 1) & ev["valid"].reshape(B)[
+        :, None
+    ]
+    w_tr = w_tr[:, :, None]  # (B, T-1, 1)
+
+    new_st = []
+    for st in range(2):
+        m_st = (strand == st).reshape(B)[:, None, None] & w_tr
+        m_grp = m_st.reshape(G, S, T - 1, 1)
+
+        def red(x):
+            return _masked_lse(
+                x.reshape(G, S, T - 1, -1),
+                jnp.broadcast_to(m_grp, x.reshape(G, S, T - 1, -1).shape),
+                (1, 2, 3),
+            )
+
+        denom = red(lp_j1)
+        num_stay = red(lp_stay)
+        num_skip = red(lp_d2)
+        p_stay_new = jnp.exp(num_stay - denom)
+        p_skip_new = jnp.exp(num_skip - denom)
+        p_stay_new = jnp.clip(p_stay_new, ST_CLAMP_LO, ST_CLAMP_HI)  # hpp:518-530
+        p_skip_new = jnp.clip(p_skip_new, ST_CLAMP_LO, ST_CLAMP_HI)
+        # strands with no training sequences keep their current params
+        has_seqs = jnp.any(
+            (strand == st) & ev["valid"] & (ev["length"] > 1), axis=1
+        )
+        p_stay_new = jnp.where(has_seqs, p_stay_new, st_params[:, st, 0])
+        p_skip_new = jnp.where(has_seqs, p_skip_new, st_params[:, st, 1])
+        new_st.append(jnp.stack([p_stay_new, p_skip_new], axis=-1))
+    return jnp.stack(new_st, axis=1)  # (G, 2, 2)
+
+
+# ---------------------------------------------------------------------------
+# host-side EM driver (stopping rules of nanocall.cpp:367-426)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class EMConfig:
+    max_rounds: int = 10  # --scaling-max-rounds
+    min_progress: float = 1.0  # --scaling-min-progress
+    train_drift: bool = True
+    train_scaling: bool = True
+    train_transitions: bool = True
+    double_strand: bool = True  # doubles the round cap (nanocall.cpp:420)
+    K: int = 6
+
+
+def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarray,
+           cfg: EMConfig):
+    """Run the full EM loop for a bucket of G training groups.
+
+    Implements the reference's per-candidate stopping rules
+    (nanocall.cpp:367-426): singularity stop, fit-regression revert,
+    round cap (2x for double-strand scaling), min-progress.
+
+    Returns (pm_params (G,6), st_params (G,2,2), fit (G,), rounds (G,)).
+    """
+    G = pm_params0.shape[0]
+    crt_pm = np.asarray(pm_params0, dtype=np.float32).copy()
+    crt_st = np.asarray(st_params0, dtype=np.float32).copy()
+    crt_fit = np.full(G, -np.inf, dtype=np.float64)
+    rounds = np.zeros(G, dtype=np.int32)
+    frozen = np.zeros(G, dtype=bool)
+    max_rounds = 2 * cfg.max_rounds if cfg.double_strand else cfg.max_rounds
+
+    round_no = 0
+    while not frozen.all() and round_no < max_rounds:
+        out = train_one_round(
+            ev, models, jnp.asarray(crt_pm), jnp.asarray(crt_st),
+            K=cfg.K, train_drift=cfg.train_drift,
+            train_scaling=cfg.train_scaling,
+            train_transitions=cfg.train_transitions,
+        )
+        fit = np.asarray(out["fit"], dtype=np.float64)
+        new_pm = np.asarray(out["new_pm_params"])
+        new_st = np.asarray(out["new_st_params"])
+        done = np.asarray(out["done"])
+
+        old_fit = crt_fit.copy()
+        active = ~frozen
+        # fit under current params
+        crt_fit = np.where(active, fit, crt_fit)
+        # singularity: stop, keep current params (already fitted above)
+        frozen |= active & done
+        # fit regression: revert params and fit, stop (nanocall.cpp:400-416)
+        regress = active & ~done & (crt_fit < old_fit)
+        if regress.any():
+            crt_fit = np.where(regress, old_fit, crt_fit)
+            frozen |= regress
+        # otherwise accept the new params
+        advance = active & ~done & ~regress
+        crt_pm = np.where(advance[:, None], new_pm, crt_pm)
+        crt_st = np.where(advance[:, None, None], new_st, crt_st)
+        rounds = np.where(advance, rounds + 1, rounds)
+        # stop conditions (nanocall.cpp:419-424): round cap handled by the
+        # while; min-progress needs round > 1
+        no_progress = advance & (rounds > 1) & (crt_fit < old_fit + cfg.min_progress)
+        frozen |= no_progress
+        round_no += 1
+    return crt_pm, crt_st, crt_fit, rounds

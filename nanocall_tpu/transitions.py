@@ -230,6 +230,67 @@ def build_structured_batch(params_batch: np.ndarray, K: int = 6):
     return from_logp.astype(np.float32), to_logp.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def slot_overlap_indicators(K: int):
+    """Static overlap indicators for device-side table construction.
+
+    Returns (from_terms, to_terms, from_dup, to_dup) where *_terms is a
+    (K+1, 21, n) float32 array: term 0 = stay indicator (i == j), term 1 =
+    step overlap (K-1), terms l=2..K-1 = skip overlaps (K-l), term K = ones
+    (background).  get_trans_prob (State_Transitions.hpp:125-144) is then a
+    dot of these indicators with parameter-dependent coefficients.
+    """
+    from_idx, to_idx, from_dup, to_dup = _slot_maps(K)
+    n = kmer.n_states(K)
+    states = np.arange(n, dtype=np.int64)
+
+    def build(i_arr, j_arr):
+        terms = np.zeros((K + 1, N_SLOTS, n), dtype=np.float32)
+        terms[0] = (i_arr == j_arr)
+        terms[1] = kmer.suffix(i_arr, K - 1, K) == kmer.prefix(j_arr, K - 1, K)
+        for l in range(2, K):
+            terms[l] = kmer.suffix(i_arr, K - l, K) == kmer.prefix(j_arr, K - l, K)
+        terms[K] = 1.0
+        return terms
+
+    j_b = np.broadcast_to(states[None, :], from_idx.shape)
+    from_terms = build(from_idx.astype(np.int64), j_b)
+    to_terms = build(j_b, to_idx.astype(np.int64))
+    return from_terms, to_terms, from_dup, to_dup
+
+
+def device_structured_tables(p_stay, p_skip, K: int):
+    """JIT-compatible structured table construction.
+
+    p_stay/p_skip: (...,) jnp arrays (e.g. (G, 2) per-candidate per-strand
+    trained params).  Returns (from_logp, to_logp) of shape (..., 21, n)
+    float32.  Used inside the EM training step, where transition params
+    change every round (Parameter_Trainer.hpp:119-133).
+    """
+    import jax.numpy as jnp
+
+    from_terms, to_terms, from_dup, to_dup = slot_overlap_indicators(K)
+    n = kmer.n_states(K)
+    p_stay = jnp.asarray(p_stay, jnp.float32)
+    p_skip = jnp.asarray(p_skip, jnp.float32)
+    p_step = 1.0 - p_stay - p_skip
+    p_skip_1 = p_skip / (p_skip + 1.0)
+    coefs = [p_stay, p_step / 4.0]
+    for l in range(2, K):
+        coefs.append(p_skip_1 ** (l - 1) / (1 << (2 * l)))
+    coefs.append((p_skip_1 ** (K - 1) / (1.0 - p_skip_1)) / n)
+    coefs = jnp.stack(coefs, axis=-1)  # (..., K+1)
+
+    def table(terms, dup):
+        p = jnp.einsum(
+            "...k,kSn->...Sn", coefs, jnp.asarray(terms), precision="highest"
+        )
+        logp = jnp.log(p)
+        return jnp.where(jnp.asarray(dup), -jnp.inf, logp).astype(jnp.float32)
+
+    return table(from_terms, from_dup), table(to_terms, to_dup)
+
+
 @dataclasses.dataclass(frozen=True)
 class SparseTransitions:
     """General sparse table (gather path) for arbitrary loaded transitions.

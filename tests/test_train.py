@@ -1,0 +1,188 @@
+"""EM trainer tests: one-round golden vs oracle, and parameter recovery."""
+
+import numpy as np
+import pytest
+
+import oracle
+from nanocall_tpu import events, kmer, pore_model, train, transitions
+from nanocall_tpu.ops import hmm
+
+K = 3
+N = kmer.n_states(K)
+
+
+def make_models(rng):
+    out = {}
+    for st in (0, 1):
+        lm = rng.uniform(40.0, 90.0, N).astype(np.float32)
+        ls = rng.uniform(0.8, 2.0, N).astype(np.float32)
+        sm = rng.uniform(0.5, 1.5, N).astype(np.float32)
+        ss = rng.uniform(0.1, 0.4, N).astype(np.float32)
+        out[st] = pore_model.PoreModel(
+            level_mean=lm, level_stdv=ls, sd_mean=sm, sd_stdv=ss, K=K, strand=st
+        )
+    return out
+
+
+def sample_events(pm, T, rng, scale=1.0, shift=0.0, drift=0.0):
+    """Generate events by a random walk through states, emitting from the
+    scaled model."""
+    st_tbl = transitions.build_structured(K=K)
+    M = np.exp(oracle.dense_logp(st_tbl, K))
+    M = M / M.sum(axis=1, keepdims=True)
+    s = rng.integers(N)
+    means, stdvs, starts, lengths = [], [], [], []
+    t = 0.0
+    for _ in range(T):
+        lm = pm.level_mean[s] * scale + shift + drift * t
+        means.append(rng.normal(lm, pm.level_stdv[s]))
+        stdvs.append(max(rng.normal(pm.sd_mean[s], pm.sd_stdv[s]), 0.05))
+        starts.append(t)
+        dt = rng.uniform(0.01, 0.03)
+        lengths.append(dt)
+        t += dt
+        s = rng.choice(N, p=M[s])
+    return events.EventSequence(mean=means, stdv=stdvs, start=starts, length=lengths)
+
+
+def build_train_batch(group_seqs, models, pm_params_list, st_params_list):
+    """Pack a list of groups (each: list of (EventSequence, strand)) into the
+    trainer's batch arrays."""
+    G = len(group_seqs)
+    S = max(len(g) for g in group_seqs)
+    T = max(len(ev) for g in group_seqs for ev, _ in g)
+    ev = {
+        "mean": np.ones((G, S, T), np.float32),
+        "stdv": np.ones((G, S, T), np.float32),
+        "log_stdv": np.zeros((G, S, T), np.float32),
+        "start": np.zeros((G, S, T), np.float32),
+        "length": np.zeros((G, S), np.int32),
+        "strand": np.zeros((G, S), np.int32),
+        "valid": np.zeros((G, S), bool),
+    }
+    mdl = {
+        k: np.zeros((G, 2, N), np.float32)
+        for k in ("level_mean", "level_stdv", "sd_mean", "sd_lambda")
+    }
+    for g, seqs in enumerate(group_seqs):
+        for s, (e, st) in enumerate(seqs):
+            L = len(e)
+            ev["mean"][g, s, :L] = e.mean
+            ev["stdv"][g, s, :L] = e.stdv
+            ev["log_stdv"][g, s, :L] = e.log_stdv
+            ev["start"][g, s, :L] = e.start
+            ev["length"][g, s] = L
+            ev["strand"][g, s] = st
+            ev["valid"][g, s] = True
+        for st in (0, 1):
+            mdl["level_mean"][g, st] = models[st].level_mean
+            mdl["level_stdv"][g, st] = models[st].level_stdv
+            mdl["sd_mean"][g, st] = models[st].sd_mean
+            mdl["sd_lambda"][g, st] = models[st].sd_lambda
+    pm_params = np.stack([p.as_array() for p in pm_params_list])
+    st_params = np.asarray(st_params_list, np.float32)
+    return ev, mdl, pm_params, st_params
+
+
+@pytest.mark.parametrize("train_drift", [True, False])
+def test_one_round_matches_oracle(train_drift):
+    rng = np.random.default_rng(7)
+    models = make_models(rng)
+    seqs = [
+        (sample_events(models[0], 25, rng), 0),
+        (sample_events(models[0], 20, rng), 0),
+        (sample_events(models[1], 22, rng), 1),
+    ]
+    pm_params = pore_model.PoreModelParams(scale=1.05, shift=-1.0, drift=0.002)
+    st_params = [[[0.11, 0.29], [0.1, 0.3]]]
+
+    ev, mdl, pm_arr, st_arr = build_train_batch([seqs], models, [pm_params], st_params)
+    out = train.train_one_round(
+        ev, mdl, pm_arr, st_arr, K=K, train_drift=train_drift
+    )
+
+    # oracle: fwbw per sequence with scaled models + custom transitions
+    scaled = {st: models[st].scaled(pm_params) for st in (0, 1)}
+    fwbw_res, ems = [], []
+    fit_ref = 0.0
+    for e, st in seqs:
+        tp = transitions.TransitionParams(*st_params[0][st])
+        M = oracle.dense_logp(transitions.build_structured(tp, K), K)
+        em = oracle.emissions(
+            (scaled[st].level_mean, scaled[st].level_stdv, scaled[st].sd_mean,
+             scaled[st].sd_lambda),
+            e, drift=pm_params.drift,
+        )
+        a, b, lpd = oracle.fwbw(M, em)
+        fwbw_res.append((a, b, lpd))
+        ems.append(em)
+        fit_ref += lpd
+
+    assert np.isclose(float(out["fit"][0]), fit_ref, rtol=1e-4, atol=1e-2)
+
+    mdl_arrays = {
+        st: (models[st].level_mean, models[st].level_stdv, models[st].sd_mean,
+             models[st].sd_lambda)
+        for st in (0, 1)
+    }
+    params_ref, done_ref = oracle.train_pm_params(seqs, mdl_arrays, fwbw_res, train_drift)
+    assert not done_ref
+    assert not bool(out["done"][0])
+    got = np.asarray(out["new_pm_params"][0], np.float64)
+    assert np.allclose(got, params_ref, rtol=2e-3, atol=2e-3), (got, params_ref)
+
+    st_ref = oracle.train_st_params(
+        seqs, scaled, fwbw_res, ems, {0: st_params[0][0], 1: st_params[0][1]}, K
+    )
+    got_st = np.asarray(out["new_st_params"][0])
+    for st in (0, 1):
+        assert np.allclose(got_st[st], st_ref[st], rtol=5e-3, atol=5e-4), (
+            st, got_st[st], st_ref[st])
+
+
+def test_em_recovers_scaling():
+    """EM on events generated with known scale/shift should recover them."""
+    rng = np.random.default_rng(3)
+    models = make_models(rng)
+    true = pore_model.PoreModelParams(scale=1.2, shift=5.0)
+    seqs = [
+        (sample_events(models[0], 60, rng, scale=1.2, shift=5.0), 0),
+        (sample_events(models[0], 60, rng, scale=1.2, shift=5.0), 0),
+    ]
+    # moment-matching init (Fast5_Summary.hpp:253-268)
+    ev_all = np.concatenate([e.mean for e, _ in seqs])
+    r_mean, r_std = float(ev_all.mean()), float(ev_all.std())
+    scale0 = r_std / models[0].stdv()
+    shift0 = r_mean - scale0 * models[0].mean()
+    pm0 = pore_model.PoreModelParams(scale=scale0, shift=shift0)
+    st0 = [[[0.1, 0.3], [0.1, 0.3]]]
+
+    ev, mdl, pm_arr, st_arr = build_train_batch([seqs], models, [pm0], st0)
+    cfg = train.EMConfig(K=K, train_drift=False, double_strand=False)
+    pm_f, st_f, fit, rounds = train.run_em(ev, mdl, pm_arr, st_arr, cfg)
+    assert rounds[0] >= 1
+    assert abs(pm_f[0, 0] - true.scale) < 0.08, pm_f[0]
+    assert abs(pm_f[0, 1] - true.shift) < 4.0, pm_f[0]
+    assert 0.5 < pm_f[0, 3] < 2.0  # var near 1
+
+
+def test_em_fit_improves():
+    rng = np.random.default_rng(11)
+    models = make_models(rng)
+    seqs = [(sample_events(models[0], 40, rng, scale=1.1, shift=2.0), 0)]
+    ev_all = seqs[0][0].mean
+    scale0 = float(ev_all.std()) / models[0].stdv()
+    shift0 = float(ev_all.mean()) - scale0 * models[0].mean()
+    pm0 = pore_model.PoreModelParams(scale=scale0, shift=shift0)
+    ev, mdl, pm_arr, st_arr = build_train_batch(
+        [seqs], models, [pm0], [[[0.1, 0.3], [0.1, 0.3]]]
+    )
+    cfg = train.EMConfig(K=K, train_drift=False, double_strand=False,
+                         min_progress=0.0)
+    # two manual rounds: fit at round 2 params must be >= fit at round 1
+    out1 = train.train_one_round(ev, mdl, pm_arr, st_arr, K=K, train_drift=False)
+    out2 = train.train_one_round(
+        ev, mdl, np.asarray(out1["new_pm_params"]), np.asarray(out1["new_st_params"]),
+        K=K, train_drift=False,
+    )
+    assert float(out2["fit"][0]) >= float(out1["fit"][0]) - 1e-3
