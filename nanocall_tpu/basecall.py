@@ -1,0 +1,424 @@
+"""Pipeline orchestration: batched training and basecalling over reads.
+
+TPU-native rebuild of train_reads / basecall_reads
+(nanocall.cpp:275-582,593-869).  Where the reference loops a thread pool
+over reads, this module gathers work across ALL reads into flat task lists,
+buckets them by length, and runs the DP kernels batched on device:
+
+  training:  (read, candidate-model) groups -> train.run_em buckets
+  basecall:  (read, strand, candidate-model) decode tasks -> Viterbi buckets
+
+Results are scattered back into per-read state; FASTA output is emitted in
+input order (matching the reference's ordered chunk flushing,
+nanocall.cpp:859-861).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+import numpy as np
+
+from . import batching, events as events_mod, kmer, read_pipeline, train, transitions
+from .config import Config
+from .ops import hmm
+from .pore_model import PoreModelParams
+from .transitions import TransitionParams
+
+log = logging.getLogger("nanocall")
+
+BP_MEM_BUDGET = 2 << 30  # backpointer HBM budget for decode buckets
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TrainGroup:
+    read_idx: int
+    key: tuple  # (name0, name1) candidate key
+    seqs: list  # [(EventSequence, strand)]
+    model_names: tuple  # (name for strand 0, name for strand 1)
+    joint: bool
+
+
+def _candidate_model_lists(summary, models, cfg, evs):
+    """Per-strand candidate model names (nanocall.cpp:300-323)."""
+    model_list = [[], []]
+    for st in (0, 1):
+        if len(evs[st]) < cfg.min_ed_events:
+            continue
+        pref = summary.preferred_model.get(st)
+        if pref:
+            model_list[st] = [pref]
+        else:
+            model_list[st] = [
+                name for name, m in models.items() if m.strand in (st, 2)
+            ]
+    return model_list
+
+
+def _train_subseqs(ev, num_events: int):
+    """The two training subsequences: first and last num_events/2 events
+    (nanocall.cpp:327-338)."""
+    n = min(num_events, len(ev))
+    h = n // 2
+    first = events_mod.EventSequence(
+        mean=ev.mean[:h], stdv=ev.stdv[:h], start=ev.start[:h], length=ev.length[:h]
+    )
+    last = events_mod.EventSequence(
+        mean=ev.mean[len(ev) - h :],
+        stdv=ev.stdv[len(ev) - h :],
+        start=ev.start[len(ev) - h :],
+        length=ev.length[len(ev) - h :],
+    )
+    return [first, last]
+
+
+def build_train_groups(summaries, models, cfg):
+    """Expand reads into (read, candidate) training groups."""
+    groups = []
+    for ridx, s in enumerate(summaries):
+        if s.num_ed_events == 0:
+            continue
+        evs = read_pipeline.load_events(s, cfg)
+        model_list = _candidate_model_lists(s, models, cfg, evs)
+        sub = {
+            st: _train_subseqs(evs[st], cfg.scaling_num_events)
+            for st in (0, 1)
+            if len(evs[st]) >= cfg.min_ed_events
+        }
+        if s.scale_strands_together:
+            seqs = [(e, st) for st in (0, 1) for e in sub.get(st, [])]
+            for m0 in model_list[0]:
+                for m1 in model_list[1]:
+                    groups.append(
+                        TrainGroup(
+                            read_idx=ridx, key=(m0, m1), seqs=seqs,
+                            model_names=(m0, m1), joint=True,
+                        )
+                    )
+        else:
+            for st in (0, 1):
+                if st not in sub:
+                    continue
+                for m in model_list[st]:
+                    key = (m, "") if st == 0 else ("", m)
+                    groups.append(
+                        TrainGroup(
+                            read_idx=ridx, key=key, seqs=[(e, st) for e in sub[st]],
+                            model_names=(m, m), joint=False,
+                        )
+                    )
+    return groups
+
+
+def pack_train_batch(groups, summaries, models, cfg, pad_T=None, pad_G=None):
+    """Pack TrainGroups into the arrays consumed by train.train_one_round."""
+    n = kmer.n_states(cfg.kmer_size)
+    G = pad_G or len(groups)
+    S = max(len(g.seqs) for g in groups)
+    T = pad_T or max(len(e) for g in groups for e, _ in g.seqs)
+    ev = {
+        "mean": np.ones((G, S, T), np.float32),
+        "stdv": np.ones((G, S, T), np.float32),
+        "log_stdv": np.zeros((G, S, T), np.float32),
+        "start": np.zeros((G, S, T), np.float32),
+        "length": np.zeros((G, S), np.int32),
+        "strand": np.zeros((G, S), np.int32),
+        "valid": np.zeros((G, S), bool),
+    }
+    mdl = {
+        k: np.ones((G, 2, n), np.float32)
+        for k in ("level_mean", "level_stdv", "sd_mean", "sd_lambda")
+    }
+    pm0 = np.zeros((G, 6), np.float32)
+    pm0[:, [0, 3, 4, 5]] = 1.0  # identity params for padded groups
+    st0 = np.full((G, 2, 2), [cfg.pr_stay, cfg.pr_skip], np.float32)
+    for g, grp in enumerate(groups):
+        s_sum = summaries[grp.read_idx]
+        for si, (e, st) in enumerate(grp.seqs):
+            L = len(e)
+            ev["mean"][g, si, :L] = e.mean
+            ev["stdv"][g, si, :L] = e.stdv
+            ev["log_stdv"][g, si, :L] = e.log_stdv
+            ev["start"][g, si, :L] = e.start
+            ev["length"][g, si] = L
+            ev["strand"][g, si] = st
+            ev["valid"][g, si] = True
+        for st in (0, 1):
+            m = models[grp.model_names[st]]
+            mdl["level_mean"][g, st] = m.level_mean
+            mdl["level_stdv"][g, st] = m.level_stdv
+            mdl["sd_mean"][g, st] = m.sd_mean
+            mdl["sd_lambda"][g, st] = m.sd_lambda
+        pm0[g] = s_sum.pm_params[grp.key].as_array()
+        st0[g] = [p.as_array() for p in s_sum.st_params[grp.key]]
+    return ev, mdl, pm0, st0
+
+
+def train_reads(summaries, models, cfg: Config) -> None:
+    """Run EM training for all reads (train_reads, nanocall.cpp:275-582),
+    updating summaries in place (pm_params, st_params, fits,
+    preferred_model)."""
+    groups = build_train_groups(summaries, models, cfg)
+    if not groups:
+        return
+    em_cfg = train.EMConfig(
+        max_rounds=cfg.scaling_max_rounds,
+        min_progress=cfg.scaling_min_progress,
+        train_drift=bool(cfg.train_drift),
+        train_scaling=cfg.train_scaling,
+        train_transitions=cfg.train_transitions,
+        K=cfg.kmer_size,
+    )
+    # bucket by training length (usually uniform = scaling_num_events/2)
+    lengths = [max(len(e) for e, _ in g.seqs) for g in groups]
+    buckets = batching.make_buckets(
+        lengths, cfg.train_group_batch, BP_MEM_BUDGET, kmer.n_states(cfg.kmer_size)
+    )
+    for T, B, chunks in buckets:
+        for chunk in chunks:
+            sub = [groups[i] for i in chunk]
+            joint = any(g.joint for g in sub)
+            ecfg = dataclasses.replace(em_cfg, double_strand=joint)
+            ev, mdl, pm0, st0 = pack_train_batch(
+                sub, summaries, models, cfg, pad_T=T, pad_G=B
+            )
+            pm_f, st_f, fit, rounds = train.run_em(ev, mdl, pm0, st0, ecfg)
+            for gi, grp in enumerate(sub):
+                s = summaries[grp.read_idx]
+                s.pm_params[grp.key] = PoreModelParams.from_array(pm_f[gi])
+                s.st_params[grp.key] = [
+                    TransitionParams(float(st_f[gi, st, 0]), float(st_f[gi, st, 1]))
+                    for st in (0, 1)
+                ]
+                s.fits[grp.key] = float(fit[gi])
+                log.info(
+                    "scaling_result read [%s] model [%s] pm_params [%s] fit [%g] rounds [%d]",
+                    s.read_id, "+".join(n for n in grp.key if n),
+                    s.pm_params[grp.key], fit[gi], rounds[gi],
+                )
+    _select_models(summaries, cfg)
+
+
+def _select_models(summaries, cfg: Config) -> None:
+    """Best-model selection after training (nanocall.cpp:437-459,552-570):
+    pick the highest-fit candidate if it beats every other by
+    scaling_select_threshold."""
+    thr = cfg.scaling_select_threshold
+    if not (thr < np.inf):
+        return
+    for s in summaries:
+        if not s.fits:
+            continue
+        joint_keys = [k for k in s.fits if k[0] and k[1]]
+        if joint_keys:
+            best = max(joint_keys, key=lambda k: s.fits[k])
+            if all(
+                k == best or s.fits[k] + thr < s.fits[best] for k in joint_keys
+            ):
+                s.preferred_model[2] = best
+                log.info(
+                    "selected_model read [%s] strand [2] model [%s]",
+                    s.read_id, "+".join(best),
+                )
+        else:
+            for st in (0, 1):
+                keys = [k for k in s.fits if k[st] and not k[1 - st]]
+                if not keys:
+                    continue
+                best = max(keys, key=lambda k: s.fits[k])
+                if all(k == best or s.fits[k] + thr < s.fits[best] for k in keys):
+                    s.preferred_model[st] = best[st]
+                    log.info(
+                        "selected_model read [%s] strand [%d] model [%s]",
+                        s.read_id, st, best[st],
+                    )
+
+
+# ---------------------------------------------------------------------------
+# basecalling
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DecodeTask:
+    read_idx: int
+    strand: int
+    key: tuple  # candidate key into pm_params/st_params
+    model_name: str
+    ev: events_mod.EventSequence  # uncorrected events for this strand
+    # results
+    logp: float = -np.inf
+    path: np.ndarray | None = None
+
+
+def build_decode_tasks(summaries, models, cfg) -> tuple[list, dict]:
+    """Expand reads into per-(strand, candidate) Viterbi tasks
+    (nanocall.cpp:692-855)."""
+    tasks = []
+    read_events = {}
+    for ridx, s in enumerate(summaries):
+        if s.num_ed_events == 0:
+            continue
+        evs = read_pipeline.load_events(s, cfg)
+        read_events[ridx] = evs
+        if s.scale_strands_together:
+            pref = s.preferred_model.get(2)
+            if pref:
+                sublist = [pref]
+            else:
+                sublist = [k for k in s.pm_params if k[0] and k[1]]
+            for key in sublist:
+                for st in (0, 1):
+                    tasks.append(
+                        DecodeTask(
+                            read_idx=ridx, strand=st, key=key,
+                            model_name=key[st], ev=evs[st],
+                        )
+                    )
+        else:
+            for st in (0, 1):
+                if len(evs[st]) < cfg.min_ed_events:
+                    continue
+                pref = s.preferred_model.get(st)
+                if pref:
+                    keys = [(pref, "") if st == 0 else ("", pref)]
+                else:
+                    keys = [k for k in s.pm_params if k[st] and not k[1 - st]]
+                for key in keys:
+                    tasks.append(
+                        DecodeTask(
+                            read_idx=ridx, strand=st, key=key,
+                            model_name=key[st], ev=evs[st],
+                        )
+                    )
+    return tasks, read_events
+
+
+def run_decode_tasks(tasks, summaries, models, cfg: Config) -> None:
+    """Execute all Viterbi tasks in length buckets, filling task.logp/path."""
+    n = kmer.n_states(cfg.kmer_size)
+    lengths = [len(t.ev) for t in tasks]
+    buckets = batching.make_buckets(
+        lengths, cfg.bucket_max_batch, BP_MEM_BUDGET, n
+    )
+    for T, B, chunks in buckets:
+        for chunk in chunks:
+            sub = [tasks[i] for i in chunk]
+            Bc = B
+            mean = np.ones((Bc, T), np.float32)
+            stdv = np.ones((Bc, T), np.float32)
+            length = np.zeros(Bc, np.int32)
+            lm = np.ones((Bc, n), np.float32)
+            ls = np.ones((Bc, n), np.float32)
+            sm = np.ones((Bc, n), np.float32)
+            slam = np.ones((Bc, n), np.float32)
+            stp = np.full((Bc, 2), [0.1, 0.3], np.float64)
+            for bi, t in enumerate(sub):
+                s = summaries[t.read_idx]
+                params = s.pm_params[t.key]
+                pm = models[t.model_name].scaled(params)
+                lm[bi], ls[bi], sm[bi] = pm.level_mean, pm.level_stdv, pm.sd_mean
+                slam[bi] = pm.sd_lambda
+                L = len(t.ev)
+                mean[bi, :L] = t.ev.corrected_mean(params.drift)
+                stdv[bi, :L] = t.ev.stdv
+                length[bi] = L
+                sp = s.st_params[t.key][t.strand]
+                stp[bi] = [sp.p_stay, sp.p_skip]
+            from_tbl, to_tbl = transitions.build_structured_batch(
+                stp, cfg.kmer_size
+            )
+            ops = hmm.make_trans_ops_batch(from_tbl, to_tbl, cfg.kmer_size)
+            model = hmm.make_model_arrays(lm, ls, sm, slam)
+            ev_batch = {
+                "mean": mean, "stdv": stdv, "log_stdv": np.log(stdv),
+                "length": length,
+            }
+            out = hmm.viterbi_decode(ops, model, ev_batch)
+            paths = np.asarray(out["path"])
+            logps = np.asarray(out["logp"])
+            for bi, t in enumerate(sub):
+                t.logp = float(logps[bi])
+                t.path = paths[bi, : len(t.ev)]
+
+
+@dataclasses.dataclass
+class BasecallResult:
+    read_idx: int
+    strand: int
+    seq_name: str
+    base_seq: str
+    model_name: str
+    key: tuple
+    logp: float
+    path: np.ndarray
+    moves: np.ndarray
+    ev: events_mod.EventSequence
+
+
+def select_and_assemble(tasks, summaries, cfg: Config) -> list:
+    """Pick the best-scoring candidate per read (joint: by summed strand
+    logp, nanocall.cpp:725-748; single: per strand, :819-835), assemble base
+    sequences, and return results ordered by (read, strand)."""
+    by_read: dict[int, list[DecodeTask]] = {}
+    for t in tasks:
+        by_read.setdefault(t.read_idx, []).append(t)
+    results = []
+    for ridx in sorted(by_read):
+        s = summaries[ridx]
+        rtasks = by_read[ridx]
+        chosen: list[DecodeTask] = []
+        if s.scale_strands_together:
+            cands: dict[tuple, dict[int, DecodeTask]] = {}
+            for t in rtasks:
+                cands.setdefault(t.key, {})[t.strand] = t
+            best_key = max(
+                cands, key=lambda k: sum(t.logp for t in cands[k].values())
+            )
+            for st in (0, 1):
+                if st in cands[best_key]:
+                    chosen.append(cands[best_key][st])
+            s.preferred_model[2] = best_key
+            for st in (0, 1):
+                s.preferred_model[st] = best_key[st]
+        else:
+            for st in (0, 1):
+                st_tasks = [t for t in rtasks if t.strand == st]
+                if not st_tasks:
+                    continue
+                best = max(st_tasks, key=lambda t: t.logp)
+                chosen.append(best)
+                s.preferred_model[st] = best.model_name
+        for t in chosen:
+            moves = np.zeros(len(t.path), np.int32)
+            if len(t.path) > 1:
+                moves[1:] = kmer.min_skip(t.path[:-1], t.path[1:], cfg.kmer_size)
+            base_seq = kmer.moves_to_base_seq(t.path, moves, cfg.kmer_size)
+            seq_name = f"{s.read_id}:{s.base_file_name}:{t.strand}"
+            log.info(
+                "best_model read [%s] strand [%d] model [%s] log_path_prob [%g]",
+                s.read_id, t.strand, t.model_name, t.logp,
+            )
+            results.append(
+                BasecallResult(
+                    read_idx=ridx, strand=t.strand, seq_name=seq_name,
+                    base_seq=base_seq, model_name=t.model_name, key=t.key,
+                    logp=t.logp, path=t.path, moves=moves, ev=t.ev,
+                )
+            )
+    return results
+
+
+def basecall_reads(summaries, models, cfg: Config) -> list:
+    """Full basecall stage; returns BasecallResults in input order."""
+    tasks, _ = build_decode_tasks(summaries, models, cfg)
+    if not tasks:
+        return []
+    run_decode_tasks(tasks, summaries, models, cfg)
+    return select_and_assemble(tasks, summaries, cfg)

@@ -1,0 +1,219 @@
+"""Command-line interface: `python -m nanocall_tpu ...`.
+
+Mirrors the reference binary's flag surface (nanocall.cpp:50-95) with
+argparse.  Dev tools (run-viterbi, run-fwbw, compute-state-transitions,
+compute-scaled-pore-model) live in tools.py as subcommands.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+import numpy as np
+
+from . import __version__, basecall, output, pore_model, read_pipeline, transitions
+from .config import Config
+from .models import load_builtin_models
+
+log = logging.getLogger("nanocall")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="nanocall-tpu",
+        description="Call bases in Oxford Nanopore reads (TPU-native).",
+    )
+    p.add_argument("--version", action="version", version=__version__)
+    p.add_argument("inputs", nargs="+", help="directories, fast5 files, or fofn files ('-' = stdin)")
+    p.add_argument("--ed-group", default="", help="EventDetection group to use")
+    p.add_argument("--log", action="append", default=[], help="log level")
+    p.add_argument("--stats", dest="stats_fn", default="", help="stats TSV output")
+    p.add_argument("--train-drift", default="", choices=["", "0", "1"])
+    p.add_argument("--trim-ed-hp-end", type=int, default=50)
+    p.add_argument("--trim-ed-hp-start", type=int, default=50)
+    p.add_argument("--trim-ed-sq-end", type=int, default=50)
+    p.add_argument("--trim-ed-sq-start", type=int, default=50)
+    p.add_argument("--max-ed-events", type=int, default=100000)
+    p.add_argument("--min-ed-events", type=int, default=10)
+    p.add_argument("--fasta-line-width", type=int, default=80)
+    p.add_argument("--scaling-select-threshold", type=float, default=20.0)
+    p.add_argument("--scaling-min-progress", type=float, default=1.0)
+    p.add_argument("--scaling-max-rounds", type=int, default=10)
+    p.add_argument("--scaling-num-events", type=int, default=200)
+    p.add_argument("--1d", dest="template_only", action="store_true",
+                   help="interpret entire read as 1D template only")
+    p.add_argument("--single-strand-scaling", action="store_true")
+    p.add_argument("--double-strand-scaling", action="store_true")
+    p.add_argument("--no-train-transitions", action="store_true")
+    p.add_argument("--no-train-scaling", action="store_true")
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--no-train", action="store_true")
+    p.add_argument("--basecall", action="store_true")
+    p.add_argument("--no-basecall", action="store_true")
+    p.add_argument("--pr-skip", type=float, default=0.3)
+    p.add_argument("--pr-stay", type=float, default=0.1)
+    p.add_argument("-s", "--trans", dest="trans_fn", default="")
+    p.add_argument("--model-fofn", default="")
+    p.add_argument("-m", "--model", action="append", default=[],
+                   help="custom pore model 'strand:file' (0=template, 1=complement, 2=both)")
+    p.add_argument("--pore", default="r73", choices=["r73", "r9"])
+    p.add_argument("--write-fast5", action="store_true")
+    p.add_argument("-o", "--output", default="")
+    p.add_argument("-t", "--threads", type=int, default=1,
+                   help="(accepted for CLI parity; device parallelism is used instead)")
+    p.add_argument("--batch", type=int, default=64, help="decode bucket batch size")
+    return p
+
+
+def config_from_args(args) -> Config:
+    cfg = Config(
+        pore=args.pore,
+        model_files=args.model,
+        model_fofn=args.model_fofn,
+        trans_file=args.trans_fn,
+        pr_stay=args.pr_stay,
+        pr_skip=args.pr_skip,
+        ed_group=args.ed_group,
+        min_ed_events=args.min_ed_events,
+        max_ed_events=args.max_ed_events,
+        trim_ed_sq_start=args.trim_ed_sq_start,
+        trim_ed_sq_end=args.trim_ed_sq_end,
+        trim_ed_hp_start=args.trim_ed_hp_start,
+        trim_ed_hp_end=args.trim_ed_hp_end,
+        scaling_select_threshold=args.scaling_select_threshold,
+        scaling_min_progress=args.scaling_min_progress,
+        scaling_max_rounds=args.scaling_max_rounds,
+        scaling_num_events=args.scaling_num_events,
+        template_only=args.template_only,
+        output=args.output,
+        write_fast5=args.write_fast5,
+        fasta_line_width=args.fasta_line_width,
+        stats_fn=args.stats_fn,
+        bucket_max_batch=args.batch,
+    )
+    # train/basecall flag resolution (nanocall.cpp:995-1021)
+    if args.train and args.no_train:
+        raise SystemExit("either --train or --no-train may be used, but not both")
+    cfg.train = not args.no_train
+    if args.basecall and args.no_basecall:
+        raise SystemExit("either --basecall or --no-basecall may be used, but not both")
+    cfg.basecall = not args.no_basecall
+    cfg.train_scaling = not args.no_train_scaling
+    cfg.train_transitions = not args.no_train_transitions
+    if args.single_strand_scaling and args.double_strand_scaling:
+        raise SystemExit(
+            "either --single-strand-scaling or --double-strand-scaling may be used, but not both"
+        )
+    cfg.double_strand_scaling = not args.single_strand_scaling
+    if not (cfg.train and cfg.train_scaling):
+        cfg.double_strand_scaling = args.double_strand_scaling
+    if args.train_drift:
+        cfg.train_drift = args.train_drift == "1"
+    cfg.apply_pore_preset()
+    if cfg.output and cfg.write_fast5:
+        raise SystemExit(
+            "output may be written to fast5 files or to a single output file, but not both"
+        )
+    return cfg
+
+
+def init_models(cfg: Config) -> dict:
+    """Load user or builtin pore models (init_models, nanocall.cpp:97-178)."""
+    specs = []
+    for s in cfg.model_files:
+        specs.append(s)
+    if cfg.model_fofn:
+        with open(cfg.model_fofn) as fh:
+            specs += [line.strip() for line in fh if line.strip()]
+    models = {}
+    if specs:
+        by_strand = {0: [], 1: [], 2: []}
+        for s in specs:
+            if len(s) < 3 or s[0] not in "012" or s[1] != ":":
+                raise SystemExit(
+                    f'could not parse model name: "{s}"; format should be "[0|1|2]:<file>"'
+                )
+            by_strand[int(s[0])].append(s[2:])
+        if not by_strand[2] and (bool(by_strand[0]) != bool(by_strand[1])):
+            raise SystemExit(
+                "models were specified for only one strand; give models for both strands, or for neither"
+            )
+        for st in (0, 1, 2):
+            for path in by_strand[st]:
+                pm = pore_model.load_tsv(path, K=cfg.kmer_size, strand=st, name=path)
+                models[path] = pm
+                log.info("loaded model [%s] for strand [%d] statistics "
+                         "[mean=%g, stdv=%g]", path, st, pm.mean(), pm.stdv())
+    else:
+        models = load_builtin_models(cfg.pore, cfg.kmer_size)
+        if not models:
+            raise SystemExit(f"no builtin models found for pore [{cfg.pore}]")
+        for name, pm in models.items():
+            log.info("loaded builtin model [%s] for strand [%d]", name, pm.strand)
+    return models
+
+
+def init_transitions(cfg: Config):
+    """Default transition table (init_transitions, nanocall.cpp:180-193)."""
+    if cfg.trans_file:
+        st = transitions.load_tsv(cfg.trans_file, cfg.kmer_size)
+        log.info("loaded state transitions from [%s]", cfg.trans_file)
+        return st
+    st = transitions.build_structured(
+        transitions.TransitionParams(cfg.pr_stay, cfg.pr_skip), cfg.kmer_size
+    )
+    log.info("init_state_transitions pr_skip=[%g], pr_stay=[%g]", cfg.pr_skip, cfg.pr_stay)
+    return st
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    level = logging.INFO
+    for spec in args.log:
+        if spec in ("debug", "debug1", "debug2"):
+            level = logging.DEBUG
+    logging.basicConfig(level=level, format="%(name)s: %(levelname)s: %(message)s")
+    cfg = config_from_args(args)
+
+    models = init_models(cfg)
+    init_transitions(cfg)  # validates/loads; decode paths rebuild per-read tables
+    files = read_pipeline.init_files(args.inputs)
+    if not files:
+        raise SystemExit("no fast5 files to process")
+    for f in files:
+        log.info("adding input file [%s]", f)
+
+    summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
+    for s in summaries:
+        log.info("summary: [%s num_ed_events=%d]", s.base_file_name, s.num_ed_events)
+
+    if cfg.train:
+        t0 = time.time()
+        basecall.train_reads(summaries, models, cfg)
+        log.info("training wall_secs=%.1f", time.time() - t0)
+
+    if cfg.basecall:
+        t0 = time.time()
+        results = basecall.basecall_reads(summaries, models, cfg)
+        log.info("basecalling wall_secs=%.1f", time.time() - t0)
+        if cfg.write_fast5:
+            output.write_results_fast5(results, summaries, models, cfg)
+        else:
+            fh = open(cfg.output, "w") if cfg.output else sys.stdout
+            try:
+                output.write_results_fasta(fh, results, cfg.fasta_line_width)
+            finally:
+                if cfg.output:
+                    fh.close()
+
+    if cfg.stats_fn:
+        with open(cfg.stats_fn, "w") as fh:
+            output.write_stats(fh, summaries)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

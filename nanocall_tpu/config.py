@@ -1,0 +1,92 @@
+"""Typed run configuration.
+
+One dataclass replaces the reference's TCLAP option namespace + mutable
+static singletons (nanocall.cpp:50-95,923-991).  Defaults match the
+reference CLI defaults; `apply_pore_preset` mirrors the r73/r9 preset logic
+(nanocall.cpp:943-964).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class Config:
+    # model selection
+    pore: str = "r73"  # reference default is r9, but r9 builtin models are
+    # fetched at build time and absent from the snapshot; r73 models ship.
+    model_files: list = dataclasses.field(default_factory=list)  # "strand:file"
+    model_fofn: str = ""
+    trans_file: str = ""
+    # transition priors (nanocall.cpp:84-85)
+    pr_stay: float = 0.1
+    pr_skip: float = 0.3
+    # event-detection input (nanocall.cpp:56,61-66)
+    ed_group: str = ""
+    min_ed_events: int = 10
+    max_ed_events: int = 100000
+    trim_ed_sq_start: int = 50
+    trim_ed_sq_end: int = 50
+    trim_ed_hp_start: int = 50
+    trim_ed_hp_end: int = 50
+    # training (nanocall.cpp:69-80)
+    train: bool = True
+    train_scaling: bool = True
+    train_transitions: bool = True
+    train_drift: bool | None = None  # None -> pore preset decides
+    double_strand_scaling: bool = True
+    scaling_select_threshold: float = 20.0
+    scaling_min_progress: float = 1.0
+    scaling_max_rounds: int = 10
+    scaling_num_events: int = 200
+    # basecalling
+    basecall: bool = True
+    template_only: bool = False  # --1d
+    # strand/hairpin detection presets (nanocall.cpp:943-964)
+    abasic_level_top_percent: float = 1.0
+    abasic_level_top_offset: float = 5.0
+    hairpin_island_window_size: int = 5
+    hairpin_island_window_load: int = 5
+    # output
+    output: str = ""
+    write_fast5: bool = False
+    fasta_line_width: int = 80
+    stats_fn: str = ""
+    # execution
+    kmer_size: int = 6
+    # device batching: max padded events per decode bucket element and max
+    # batch elements per bucket launch (memory control)
+    bucket_max_batch: int = 64
+    train_group_batch: int = 64
+    # parallel
+    num_shards: int = 0  # 0 = use all local devices
+
+    def apply_pore_preset(self) -> "Config":
+        """r73/r9 presets for abasic/hairpin/drift knobs (nanocall.cpp:943-964)."""
+        if self.pore == "r9":
+            self.abasic_level_top_percent = 1.0
+            self.abasic_level_top_offset = 0.0
+            self.hairpin_island_window_size = 10
+            self.hairpin_island_window_load = 5
+            if self.train_drift is None:
+                self.train_drift = False
+        elif self.pore == "r73":
+            self.abasic_level_top_percent = 1.0
+            self.abasic_level_top_offset = 5.0
+            self.hairpin_island_window_size = 5
+            self.hairpin_island_window_load = 5
+            if self.train_drift is None:
+                self.train_drift = True
+        else:
+            raise ValueError(f"unknown pore type: {self.pore}")
+        return self
+
+    @property
+    def trim_margins(self) -> tuple[int, int, int, int]:
+        return (
+            self.trim_ed_sq_start,
+            self.trim_ed_sq_end,
+            self.trim_ed_hp_start,
+            self.trim_ed_hp_end,
+        )

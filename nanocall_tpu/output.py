@@ -1,0 +1,93 @@
+"""Output writers: FASTA, stats TSV, fast5 write-back.
+
+Mirrors write_fasta (nanocall.cpp:584-591), the --stats TSV
+(Fast5_Summary.hpp:460-502), and the --write-fast5 path
+(nanocall.cpp:770-776,843-849).
+"""
+
+from __future__ import annotations
+
+from . import fast5_io
+from .pore_model import PoreModelParams
+from .transitions import TransitionParams
+
+
+def write_fasta(fh, name: str, seq: str, line_width: int = 80) -> None:
+    fh.write(f">{name}\n")
+    for pos in range(0, len(seq), line_width):
+        fh.write(seq[pos : pos + line_width] + "\n")
+
+
+def write_results_fasta(fh, results, line_width: int = 80) -> None:
+    for r in results:
+        write_fasta(fh, r.seq_name, r.base_seq, line_width)
+
+
+def write_results_fast5(results, summaries, models, cfg) -> None:
+    """Persist basecalls into the source fast5 files under the reserved
+    Nanocall_NNN group."""
+    for r in results:
+        s = summaries[r.read_idx]
+        pm = models[r.model_name]
+        params = s.pm_params[r.key]
+        p_states = [0.0] * len(r.path)
+        table = fast5_io.basecall_event_table(
+            r.ev, r.path, r.moves, p_states, cfg.kmer_size
+        )
+        with fast5_io.Fast5File(s.file_name, rw=True) as f:
+            f.add_basecall_seq(r.strand, s.bc_grp, r.seq_name, r.base_seq)
+            f.add_basecall_events(r.strand, s.bc_grp, table)
+            f.add_basecall_model(r.strand, s.bc_grp, fast5_io.model_table(pm))
+            f.add_basecall_model_params(r.strand, s.bc_grp, params)
+
+
+STATS_COLUMNS = (
+    "file_name\tread_name\tnum_ed_events\tabasic_level"
+    "\ttemplate_start_idx\ttemplate_end_idx"
+    "\tcomplement_start_idx\tcomplement_end_idx"
+)
+
+
+def write_stats_header(fh) -> None:
+    fh.write(STATS_COLUMNS)
+    for st in (0, 1):
+        fh.write(
+            f"\tn{st}_model_name\tn{st}_scale\tn{st}_shift\tn{st}_drift"
+            f"\tn{st}_var\tn{st}_scale_sd\tn{st}_var_sd"
+            f"\tn{st}_p_stay\tn{st}_p_skip"
+        )
+    fh.write("\n")
+
+
+def write_stats_row(fh, s) -> None:
+    fh.write(
+        f"{s.base_file_name}\t{s.read_id}\t{s.num_ed_events}\t{s.abasic_level:g}"
+        f"\t{s.strand_bounds[0]}\t{s.strand_bounds[1]}"
+        f"\t{s.strand_bounds[2]}\t{s.strand_bounds[3]}"
+    )
+    for st in (0, 1):
+        name = s.preferred_model.get(st, "")
+        key = None
+        if name:
+            # find a candidate key for this strand's preferred model
+            if s.preferred_model.get(2):
+                key = s.preferred_model[2]
+            else:
+                key = (name, "") if st == 0 else ("", name)
+            if key not in s.pm_params:
+                key = None
+        if name and key is not None:
+            fh.write(f"\t{name}\t{s.pm_params[key].write_tsv()}\t")
+            p = s.st_params[key][st]
+            fh.write(f"{p.p_stay:.5f}\t{p.p_skip:.5f}")
+        else:
+            fh.write(f"\t.\t{PoreModelParams().write_tsv()}\t")
+            p = TransitionParams()
+            fh.write(f"{p.p_stay:.5f}\t{p.p_skip:.5f}")
+    fh.write("\n")
+
+
+def write_stats(fh, summaries) -> None:
+    write_stats_header(fh)
+    for s in summaries:
+        write_stats_row(fh, s)

@@ -1,0 +1,71 @@
+"""Device-mesh data parallelism for batched decoding and training.
+
+The reference parallelizes with a thread pool over reads
+(pfor, nanocall.cpp:282,611).  Here the batch axis (reads / training
+groups / decode tasks) shards over the 'data' axis of a JAX device mesh,
+and the 4096-state axis can shard over a second 'model' axis (XLA/GSPMD
+inserts the collectives; the structured-transition kernels are pure
+reshape/elementwise ops, so resharding is mechanical).  EM sufficient
+statistics reduce per-group — no cross-device reductions are required for
+correctness, matching SURVEY.md section 2.10.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, model_axis: int = 1) -> Mesh:
+    """Build an (data, model) mesh over the first n_devices devices."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    model = model_axis if n % model_axis == 0 else 1
+    data = n // model
+    grid = np.array(devs).reshape(data, model)
+    return Mesh(grid, ("data", "model"))
+
+
+def shard_decode_inputs(mesh: Mesh, ops, model, ev):
+    """Place decode inputs on the mesh: batch over 'data', states over
+    'model'."""
+    dp = NamedSharding(mesh, P("data"))
+    dp_state = NamedSharding(mesh, P("data", "model"))
+    dp_tbl = NamedSharding(mesh, P("data", None, "model"))
+    repl_tbl = NamedSharding(mesh, P(None, "model"))
+
+    def put(x, s):
+        return jax.device_put(x, s)
+
+    import dataclasses
+
+    ev = {
+        k: put(v, dp if np.ndim(v) >= 1 else NamedSharding(mesh, P()))
+        for k, v in ev.items()
+    }
+    model = type(model)(*(put(a, dp_state if a.ndim == 2 else
+                              NamedSharding(mesh, P("model"))) for a in model))
+    tbl_sh = dp_tbl if ops.from_logp.ndim == 3 else repl_tbl
+    ops = dataclasses.replace(
+        ops,
+        from_logp=put(ops.from_logp, tbl_sh),
+        to_logp=put(ops.to_logp, tbl_sh),
+    )
+    return ops, model, ev
+
+
+def shard_train_inputs(mesh: Mesh, ev, models, pm_params, st_params):
+    """Place training-batch inputs: groups over 'data', states over 'model'."""
+    def dp(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    ev = {k: jax.device_put(v, dp("data")) for k, v in ev.items()}
+    models = {
+        k: jax.device_put(v, dp("data", None, "model")) for k, v in models.items()
+    }
+    pm_params = jax.device_put(pm_params, dp("data"))
+    st_params = jax.device_put(st_params, dp("data"))
+    return ev, models, pm_params, st_params

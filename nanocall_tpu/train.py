@@ -207,7 +207,7 @@ def train_one_round(
     lpd = fb["log_pr_data"]  # (B,)
 
     valid = ev["valid"].reshape(B)
-    fit = jnp.sum(jnp.where(valid, lpd.reshape(G, S), 0.0), axis=1)
+    fit = jnp.sum(jnp.where(ev["valid"], lpd.reshape(G, S), 0.0), axis=1)
 
     out = {"fit": fit}
 

@@ -1,0 +1,125 @@
+"""End-to-end pipeline tests on simulated fast5 reads (builtin r73 models)."""
+
+import numpy as np
+import pytest
+
+from nanocall_tpu import basecall, read_pipeline, simulate
+from nanocall_tpu.cli import config_from_args, build_parser, main as cli_main
+from nanocall_tpu.config import Config
+from nanocall_tpu.models import load_builtin_models
+
+
+@pytest.fixture(scope="module")
+def models():
+    return load_builtin_models("r73")
+
+
+@pytest.fixture(scope="module")
+def sim_dir(tmp_path_factory, models):
+    d = tmp_path_factory.mktemp("fast5")
+    rng = np.random.default_rng(123)
+    truths = {}
+    # two template-only reads, one 2-strand read with hairpin
+    for i in range(2):
+        truths[f"read_t{i}"] = simulate.write_sim_fast5(
+            d / f"read_t{i}.fast5", models, "r73.t.006", None, 400, rng,
+            read_id=f"read_t{i}", noise_scale=0.5,
+        )
+    truths["read_2d"] = simulate.write_sim_fast5(
+        d / "read_2d.fast5", models, "r73.t.006", "r73.c.p1.006", 600, rng,
+        read_id="read_2d", noise_scale=0.5,
+    )
+    return d, truths
+
+
+def test_summarize_template_only(sim_dir, models):
+    d, truths = sim_dir
+    cfg = Config().apply_pore_preset()
+    s = read_pipeline.summarize(str(d / "read_t0.fast5"), models, cfg)
+    assert s.num_ed_events > 0
+    assert s.read_id == "read_t0"
+    b = s.strand_bounds
+    assert b[2] == b[3] == 0  # no complement
+    assert b[1] - b[0] > 300
+    assert not s.scale_strands_together
+    assert s.pm_params  # initial scaling computed
+    assert s.bc_grp == "Nanocall_000"
+
+
+def test_summarize_two_strand(sim_dir, models):
+    d, truths = sim_dir
+    cfg = Config().apply_pore_preset()
+    s = read_pipeline.summarize(str(d / "read_2d.fast5"), models, cfg)
+    assert s.num_ed_events > 0
+    b = s.strand_bounds
+    assert b[3] > b[2] > b[1] > b[0]
+    assert s.scale_strands_together
+    # joint candidates: template x {p1, p2} = 2 keys
+    joint = [k for k in s.pm_params if k[0] and k[1]]
+    assert len(joint) == 2
+
+
+def test_end_to_end_basecall_no_train(sim_dir, models):
+    d, truths = sim_dir
+    cfg = Config(train=False, scaling_select_threshold=np.inf).apply_pore_preset()
+    cfg.double_strand_scaling = False
+    files = read_pipeline.init_files([str(d)])
+    assert len(files) == 3
+    summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
+    results = basecall.basecall_reads(summaries, models, cfg)
+    assert len(results) >= 3
+    by_name = {r.seq_name: r for r in results}
+    t0 = [r for r in results if "read_t0" in r.seq_name]
+    assert len(t0) == 1
+    # untrained: moment-matching init only (noise_scale<1 biases the scale
+    # estimate, which EM corrects in the trained test below)
+    ident = simulate.identity(t0[0].base_seq, truths["read_t0"].base_seqs[0])
+    assert ident > 0.6, f"template identity too low: {ident}"
+
+
+def test_end_to_end_with_training(sim_dir, models):
+    d, truths = sim_dir
+    cfg = Config().apply_pore_preset()
+    files = read_pipeline.init_files([str(d)])
+    summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
+    basecall.train_reads(summaries, models, cfg)
+    # trained params should be near identity (sim used scale=1, shift=0)
+    trained = [s for s in summaries if s.fits]
+    assert trained
+    for s in trained:
+        best = max(s.fits, key=lambda k: s.fits[k])
+        p = s.pm_params[best]
+        assert 0.8 < p.scale < 1.2, p
+        assert abs(p.shift) < 10.0, p
+    results = basecall.basecall_reads(summaries, models, cfg)
+    t0 = [r for r in results if "read_t0" in r.seq_name][0]
+    ident = simulate.identity(t0.base_seq, truths["read_t0"].base_seqs[0])
+    # ~0.8 is near the ceiling: p_skip=0.3 means ~30% of moves skip a base
+    # that the 6-mer overlap only weakly constrains
+    assert ident > 0.72, ident
+    # 2-strand read yields both strands
+    r2 = [r for r in results if "read_2d" in r.seq_name]
+    assert sorted(r.strand for r in r2) == [0, 1]
+    id_t = simulate.identity(
+        [r for r in r2 if r.strand == 0][0].base_seq, truths["read_2d"].base_seqs[0]
+    )
+    assert id_t > 0.62, id_t
+
+
+def test_cli_end_to_end(sim_dir, tmp_path):
+    d, truths = sim_dir
+    out = tmp_path / "out.fa"
+    stats = tmp_path / "stats.tsv"
+    rc = cli_main([
+        str(d), "-o", str(out), "--stats", str(stats), "--no-train",
+        "--pore", "r73", "--1d",
+    ])
+    assert rc == 0
+    text = out.read_text()
+    assert text.count(">") >= 3
+    # deterministic input order: fasta names sorted by file order
+    names = [l[1:].strip() for l in text.splitlines() if l.startswith(">")]
+    assert names == sorted(names, key=lambda x: names.index(x))  # stable
+    stats_text = stats.read_text()
+    assert stats_text.startswith("file_name\tread_name")
+    assert len(stats_text.splitlines()) == 4
