@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Benchmark harness: prints ONE JSON line with the headline metric.
+
+Headline: Viterbi decode throughput (events/s) on one TPU chip — forward
+scan + traceback + host base-sequence assembly over a realistic batched
+workload (B reads x T events, 4096-state R7.3 model), versus the measured
+8-thread CPU baseline (baseline/cpu_nanocall.cpp, the reference's exact DP
+inner loop; see BASELINE.md — the reference binary itself is unbuildable
+here because its vendored submodules are absent).
+
+Usage: python bench.py [--reads N] [--events T] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# measured once on this machine via baseline/cpu_nanocall (8 threads);
+# re-measure with --cpu
+CPU_BASELINE_EVENTS_PER_S = 14002.0
+
+
+def measure_cpu(reads: int, events: int) -> float:
+    exe = os.path.join(REPO, "baseline", "cpu_nanocall")
+    if not os.path.exists(exe):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-pthread",
+             "-o", exe, exe + ".cpp"],
+            check=True,
+        )
+    out = subprocess.run(
+        [exe, str(reads), str(events), "8"], capture_output=True, text=True,
+        check=True,
+    )
+    return float(json.loads(out.stdout)["events_per_s"])
+
+
+def measure_tpu(B: int, T: int, n_iter: int = 8) -> dict:
+    import jax
+
+    from nanocall_tpu import kmer, transitions
+    from nanocall_tpu.models import load_builtin_models
+    from nanocall_tpu.ops import hmm
+
+    models = load_builtin_models("r73")
+    pm = models["r73.t.006"]
+    st = transitions.build_structured(K=6)
+    ops = hmm.make_trans_ops(st)
+    rng = np.random.default_rng(0)
+    model = hmm.make_model_arrays(
+        np.tile(pm.level_mean, (B, 1)), np.tile(pm.level_stdv, (B, 1)),
+        np.tile(pm.sd_mean, (B, 1)), np.tile(pm.sd_lambda, (B, 1)),
+    )
+    stdv = rng.uniform(0.5, 1.5, (B, T)).astype(np.float32)
+    ev = {
+        "mean": rng.uniform(40.0, 90.0, (B, T)).astype(np.float32),
+        "stdv": stdv,
+        "log_stdv": np.log(stdv),
+        "length": np.full(B, T, np.int32),
+    }
+    ev = {k: jax.device_put(v) for k, v in ev.items()}
+    # warm up (compile)
+    out = hmm.viterbi_decode(ops, model, ev)
+    paths = np.asarray(out["path"])
+    t0 = time.time()
+    for _ in range(n_iter):
+        out = hmm.viterbi_decode(ops, model, ev)
+        paths = np.asarray(out["path"])
+    dt = (time.time() - t0) / n_iter
+    # host-side move computation + base assembly for one batch (counted)
+    t1 = time.time()
+    for b in range(B):
+        p = paths[b]
+        moves = np.zeros(T, np.int32)
+        moves[1:] = kmer.min_skip(p[:-1], p[1:], 6)
+        kmer.moves_to_base_seq(p, moves, 6)
+    host_dt = time.time() - t1
+    total = dt + host_dt
+    return {
+        "events_per_s": B * T / total,
+        "device_ms": dt * 1e3,
+        "host_assembly_ms": host_dt * 1e3,
+        "reads_per_s": B / total,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=128)
+    ap.add_argument("--events", type=int, default=4096)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="re-measure CPU baseline")
+    args = ap.parse_args()
+
+    B, T = args.reads, args.events
+    if args.quick:
+        B, T = 32, 1024
+
+    cpu = CPU_BASELINE_EVENTS_PER_S
+    if args.cpu:
+        cpu = measure_cpu(min(B, 16), min(T, 2048))
+        print(f"cpu baseline: {cpu:,.0f} events/s", file=sys.stderr)
+
+    res = measure_tpu(B, T, n_iter=3 if args.quick else 8)
+    print(
+        json.dumps(
+            {
+                "metric": "viterbi_decode_events_per_s",
+                "value": round(res["events_per_s"]),
+                "unit": "events/s",
+                "vs_baseline": round(res["events_per_s"] / cpu, 2),
+                "detail": {
+                    "B": B,
+                    "T": T,
+                    "device_ms_per_batch": round(res["device_ms"], 1),
+                    "host_assembly_ms": round(res["host_assembly_ms"], 1),
+                    "reads_per_s": round(res["reads_per_s"], 1),
+                    "cpu_baseline_events_per_s": cpu,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
