@@ -53,8 +53,7 @@ def measure_tpu(B: int, T: int, n_iter: int = 8) -> dict:
 
     models = load_builtin_models("r73")
     pm = models["r73.t.006"]
-    st = transitions.build_structured(K=6)
-    ops = hmm.make_trans_ops(st)
+    gt = hmm.make_grouped_trans(transitions.TransitionParams(), 6)
     rng = np.random.default_rng(0)
     model = hmm.make_model_arrays(
         np.tile(pm.level_mean, (B, 1)), np.tile(pm.level_stdv, (B, 1)),
@@ -69,11 +68,11 @@ def measure_tpu(B: int, T: int, n_iter: int = 8) -> dict:
     }
     ev = {k: jax.device_put(v) for k, v in ev.items()}
     # warm up (compile)
-    out = hmm.viterbi_decode(ops, model, ev)
+    out = hmm.viterbi_decode_grouped(gt, model, ev)
     paths = np.asarray(out["path"])
     t0 = time.time()
     for _ in range(n_iter):
-        out = hmm.viterbi_decode(ops, model, ev)
+        out = hmm.viterbi_decode_grouped(gt, model, ev)
         paths = np.asarray(out["path"])
     dt = (time.time() - t0) / n_iter
     # host-side move computation + base assembly for one batch (counted)

@@ -300,9 +300,28 @@ def build_decode_tasks(summaries, models, cfg) -> tuple[list, dict]:
     return tasks, read_events
 
 
-def run_decode_tasks(tasks, summaries, models, cfg: Config) -> None:
-    """Execute all Viterbi tasks in length buckets, filling task.logp/path."""
+def run_decode_tasks(tasks, summaries, models, cfg: Config,
+                     default_transitions=None) -> None:
+    """Execute all Viterbi tasks in length buckets, filling task.logp/path.
+
+    Tasks with default (untrained) transition params and a file-loaded
+    custom table (--trans, nanocall.cpp:651-661) decode via the general
+    sparse kernel; everything else uses the grouped fast path.
+    """
     n = kmer.n_states(cfg.kmer_size)
+    use_sparse_default = isinstance(default_transitions, transitions.SparseTransitions)
+    sparse_ops = (
+        hmm.make_trans_ops(default_transitions) if use_sparse_default else None
+    )
+
+    def is_sparse_task(t):
+        if not use_sparse_default:
+            return False
+        sp = summaries[t.read_idx].st_params[t.key][t.strand]
+        return sp.is_default(
+            transitions.TransitionParams(cfg.pr_stay, cfg.pr_skip)
+        )
+
     lengths = [len(t.ev) for t in tasks]
     buckets = batching.make_buckets(
         lengths, cfg.bucket_max_batch, BP_MEM_BUDGET, n
@@ -331,16 +350,23 @@ def run_decode_tasks(tasks, summaries, models, cfg: Config) -> None:
                 length[bi] = L
                 sp = s.st_params[t.key][t.strand]
                 stp[bi] = [sp.p_stay, sp.p_skip]
-            from_tbl, to_tbl = transitions.build_structured_batch(
-                stp, cfg.kmer_size
-            )
-            ops = hmm.make_trans_ops_batch(from_tbl, to_tbl, cfg.kmer_size)
             model = hmm.make_model_arrays(lm, ls, sm, slam)
             ev_batch = {
                 "mean": mean, "stdv": stdv, "log_stdv": np.log(stdv),
                 "length": length,
             }
-            out = hmm.viterbi_decode(ops, model, ev_batch)
+            if all(is_sparse_task(t) for t in sub) and use_sparse_default:
+                out = hmm.viterbi_decode(sparse_ops, model, ev_batch)
+            else:
+                # grouped (3-way) tables: exact fast path for the standard
+                # stay/step/skip structure, batched per task's trained params
+                stay, step_, skip = transitions.grouped_tables(
+                    stp[:, 0], stp[:, 1], cfg.kmer_size
+                )
+                gt = hmm.GroupedTrans(
+                    stay_lp=stay, step_lp=step_, skip_lp=skip, K=cfg.kmer_size
+                )
+                out = hmm.viterbi_decode_grouped(gt, model, ev_batch)
             paths = np.asarray(out["path"])
             logps = np.asarray(out["logp"])
             for bi, t in enumerate(sub):
@@ -415,10 +441,10 @@ def select_and_assemble(tasks, summaries, cfg: Config) -> list:
     return results
 
 
-def basecall_reads(summaries, models, cfg: Config) -> list:
+def basecall_reads(summaries, models, cfg: Config, default_transitions=None) -> list:
     """Full basecall stage; returns BasecallResults in input order."""
     tasks, _ = build_decode_tasks(summaries, models, cfg)
     if not tasks:
         return []
-    run_decode_tasks(tasks, summaries, models, cfg)
+    run_decode_tasks(tasks, summaries, models, cfg, default_transitions)
     return select_and_assemble(tasks, summaries, cfg)

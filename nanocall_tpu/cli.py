@@ -179,7 +179,7 @@ def main(argv=None) -> int:
     cfg = config_from_args(args)
 
     models = init_models(cfg)
-    init_transitions(cfg)  # validates/loads; decode paths rebuild per-read tables
+    default_transitions = init_transitions(cfg)
     files = read_pipeline.init_files(args.inputs)
     if not files:
         raise SystemExit("no fast5 files to process")
@@ -197,7 +197,7 @@ def main(argv=None) -> int:
 
     if cfg.basecall:
         t0 = time.time()
-        results = basecall.basecall_reads(summaries, models, cfg)
+        results = basecall.basecall_reads(summaries, models, cfg, default_transitions)
         log.info("basecalling wall_secs=%.1f", time.time() - t0)
         if cfg.write_fast5:
             output.write_results_fast5(results, summaries, models, cfg)

@@ -220,6 +220,162 @@ def log_emission(m: ModelArrays, ev_mean, ev_stdv, ev_log_stdv) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("stay_lp", "step_lp", "skip_lp"),
+    meta_fields=("K",),
+)
+@dataclasses.dataclass(frozen=True)
+class GroupedTrans:
+    """Grouped (3-way) transition tables for the fast Viterbi kernel.
+
+    stay_lp/step_lp/skip_lp: (..., n) float32 (see
+    transitions.grouped_tables).  EXACT for max-plus recursions: every
+    from-candidate of the 21-slot table is represented at its full
+    probability in its primary group, and duplicate representations are
+    strictly dominated (they can never decide the max or the tie-break).
+    """
+
+    stay_lp: jax.Array
+    step_lp: jax.Array
+    skip_lp: jax.Array
+    K: int
+
+
+def make_grouped_trans(params=None, K: int = 6, p_stay=None, p_skip=None) -> GroupedTrans:
+    from .. import transitions as tm
+
+    if params is not None:
+        p_stay, p_skip = params.p_stay, params.p_skip
+    stay, step, skip = tm.grouped_tables(p_stay, p_skip, K)
+    return GroupedTrans(
+        stay_lp=jnp.asarray(stay), step_lp=jnp.asarray(step),
+        skip_lp=jnp.asarray(skip), K=K,
+    )
+
+
+def viterbi_forward_grouped(gt: GroupedTrans, model: ModelArrays, ev: dict):
+    """Grouped max-plus forward pass: per step, reduce alpha to 4-way and
+    16-way column maxima once, then each destination j combines three
+    candidates (stay, step-group, skip-group) — ~3-4x less VPU work than
+    the 21-slot expansion, with identical results and tie-breaking.
+
+    bp encoding (uint8): (group << 6) | within-group argmax
+      group 0: stay (from = j)
+      group 1: step (from = (arg << 2(K-1)) | (j >> 2))
+      group 2: skip (from = (arg << 2(K-2)) | (j >> 4))
+    """
+    n = model.level_mean.shape[-1]
+    K = gt.K
+    log_n = jnp.float32(math.log(n))
+    lengths = ev["length"]
+    B, T = ev["mean"].shape
+    n4, n16 = n // 4, n // 16
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    f0 = iota_n  # stay from-state
+    j_shr2 = iota_n >> 2
+    j_shr4 = iota_n >> 4
+    big = jnp.int32(np.iinfo(np.int32).max)
+
+    em0 = log_emission(model, ev["mean"][:, 0], ev["stdv"][:, 0], ev["log_stdv"][:, 0])
+    alpha0 = em0 - log_n
+
+    xs = (
+        jnp.moveaxis(ev["mean"][:, 1:], 1, 0),
+        jnp.moveaxis(ev["stdv"][:, 1:], 1, 0),
+        jnp.moveaxis(ev["log_stdv"][:, 1:], 1, 0),
+        jnp.arange(1, T),
+    )
+
+    def rep(x, r):  # (B, n/r) -> (B, n): value at column j = x[j >> log4(r)]
+        return jnp.broadcast_to(
+            x[:, :, None], (B, x.shape[1], r)
+        ).reshape(B, n)
+
+    def step(alpha, x):
+        mean_t, stdv_t, log_stdv_t, t = x
+        a4 = alpha.reshape(B, 4, n4)
+        m4 = jnp.max(a4, axis=1)  # (B, n4)
+        g4 = jnp.argmax(a4, axis=1)  # first occurrence = lowest b = lowest from
+        a16 = alpha.reshape(B, 16, n16)
+        m16 = jnp.max(a16, axis=1)
+        g16 = jnp.argmax(a16, axis=1)
+
+        v0 = gt.stay_lp + alpha
+        v1 = gt.step_lp + rep(m4, 4)
+        v2 = gt.skip_lp + rep(m16, 16)
+        best = jnp.maximum(jnp.maximum(v0, v1), v2)
+
+        arg4 = rep(g4, 4).astype(jnp.int32)
+        arg16 = rep(g16, 16).astype(jnp.int32)
+        f1 = (arg4 << (2 * (K - 1))) | j_shr2
+        f2 = (arg16 << (2 * (K - 2))) | j_shr4
+        k0 = jnp.where(v0 == best, f0, big)
+        k1 = jnp.where(v1 == best, f1, big)
+        k2 = jnp.where(v2 == best, f2, big)
+        fmin = jnp.minimum(jnp.minimum(k0, k1), k2)
+        bp = jnp.where(
+            k0 == fmin,
+            0,
+            jnp.where(k1 == fmin, 64 + arg4, 128 + arg16),
+        ).astype(jnp.uint8)
+
+        em = log_emission(model, mean_t, stdv_t, log_stdv_t)
+        new_alpha = best + em
+        active = (t < lengths)[:, None]
+        return jnp.where(active, new_alpha, alpha), bp
+
+    final_alpha, bps = jax.lax.scan(step, alpha0, xs)
+    bp_full = jnp.concatenate([jnp.zeros((1, B, n), dtype=jnp.uint8), bps], axis=0)
+    return final_alpha, bp_full
+
+
+def grouped_from_state(bp: jax.Array, j: jax.Array, K: int) -> jax.Array:
+    """Decode a grouped bp byte into the from-state."""
+    group = (bp >> 6).astype(jnp.int32)
+    arg = (bp & 63).astype(jnp.int32)
+    f_step = (arg << (2 * (K - 1))) | (j >> 2)
+    f_skip = (arg << (2 * (K - 2))) | (j >> 4)
+    return jnp.where(group == 0, j, jnp.where(group == 1, f_step, f_skip)).astype(
+        jnp.int32
+    )
+
+
+def viterbi_traceback_grouped(gt: GroupedTrans, final_alpha, bp, lengths):
+    """Traceback for the grouped bp encoding."""
+    T, B, n = bp.shape
+    K = gt.K
+    end_state = jnp.argmax(final_alpha, axis=-1).astype(jnp.int32)
+    path_logp = jnp.max(final_alpha, axis=-1)
+    state_iota = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
+
+    def step(s, x):
+        bp_t, t = x
+        s_eff = jnp.where(t == lengths - 1, end_state, s)
+        onehot = state_iota == s_eff[:, None]
+        k = jnp.sum(jnp.where(onehot, bp_t.astype(jnp.int32), 0), axis=-1)
+        s_prev = grouped_from_state(k.astype(jnp.uint8), s_eff, K)
+        s_new = jnp.where((t <= lengths - 1) & (t > 0), s_prev, s_eff)
+        return s_new, s_eff
+
+    xs = (bp[1:][::-1], jnp.arange(T - 1, 0, -1))
+    s_last, path_rev = jax.lax.scan(step, end_state, xs)
+    path = jnp.concatenate([s_last[None, :], path_rev[::-1]], axis=0)
+    return jnp.moveaxis(path, 0, 1), path_logp
+
+
+@functools.partial(jax.jit, static_argnames=("with_path",))
+def viterbi_decode_grouped(gt: GroupedTrans, model: ModelArrays, ev: dict,
+                           with_path: bool = True):
+    """Fast-path Viterbi decode on the grouped decomposition (standard
+    stay/step/skip structured transitions only)."""
+    final_alpha, bp = viterbi_forward_grouped(gt, model, ev)
+    if not with_path:
+        return {"logp": jnp.max(final_alpha, axis=-1)}
+    path, logp = viterbi_traceback_grouped(gt, final_alpha, bp, ev["length"])
+    return {"path": path, "logp": logp}
+
+
 def viterbi_forward(ops: TransOps, model: ModelArrays, ev: dict):
     """Max-plus forward pass (Viterbi.hpp:44-99), batched + masked.
 
@@ -266,7 +422,12 @@ def viterbi_forward(ops: TransOps, model: ModelArrays, ev: dict):
 def viterbi_traceback(ops: TransOps, final_alpha, bp, lengths):
     """Traceback (Viterbi.hpp:120-142): returns (path (B, T) int32,
     path_logp (B,) float32).  Entries at t >= length are clamped to the
-    first real state of the suffix (harmless; callers mask by length)."""
+    first real state of the suffix (harmless; callers mask by length).
+
+    The per-step backpointer lookup is a one-hot masked reduction over the
+    state axis (VPU-friendly) rather than a gather: 0.5 M lane-ops per step
+    beat a dynamic gather's lowering on TPU.
+    """
     T, B, n = bp.shape
     K = ops.K
     # end state: argmax, first occurrence = lowest index (Viterbi.hpp:125-131)
@@ -275,11 +436,13 @@ def viterbi_traceback(ops: TransOps, final_alpha, bp, lengths):
     sparse = ops.from_idx is not None
     if sparse:
         from_idx = ops.from_idx  # (S, n)
+    state_iota = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1)
 
     def step(s, x):
         bp_t, t = x  # bp_t (B, n) uint8
         s_eff = jnp.where(t == lengths - 1, end_state, s)
-        k = jnp.take_along_axis(bp_t, s_eff[:, None], axis=1)[:, 0].astype(jnp.int32)
+        onehot = state_iota == s_eff[:, None]
+        k = jnp.sum(jnp.where(onehot, bp_t.astype(jnp.int32), 0), axis=-1)
         if sparse:
             s_prev = from_idx[k, s_eff]
         else:

@@ -291,6 +291,86 @@ def device_structured_tables(p_stay, p_skip, K: int):
     return table(from_terms, from_dup), table(to_terms, to_dup)
 
 
+@functools.lru_cache(maxsize=None)
+def grouped_condition_masks(K: int):
+    """Static overlap-condition indicator vectors for the grouped (3-way)
+    Viterbi decomposition.
+
+    Exploits that for destination j, ALL step predecessors
+    i = (b << 2(K-1)) | (j >> 2) share one transition probability (every
+    overlap condition suffix(i, K-l) == prefix(j, K-l) involves only the
+    low bits of i, which equal bits of j), and likewise all skip-1
+    predecessors i = (c << 2(K-2)) | (j >> 4).  The only per-slot
+    exceptions are duplicate from-states (i == j, or step/skip
+    coincidences), whose true probability is strictly larger and carried
+    exactly by their primary group — so a max over the three group
+    candidates is EXACT for Viterbi (see ops/hmm.viterbi_forward_grouped).
+
+    Returns dict with float32 (n,) indicator arrays:
+      stay_l{1..K-1}: overlap conditions of j -> j
+      step_l{2..K-1}: conditions for step predecessors
+      skip_l{3..K-1}: conditions for skip predecessors
+    """
+    n = kmer.n_states(K)
+    j = np.arange(n, dtype=np.int64)
+    out = {}
+    # stay (i == j): all overlap conditions evaluated at i = j
+    for l in range(1, K):
+        out[f"stay_l{l}"] = (
+            kmer.suffix(j, K - l, K) == kmer.prefix(j, K - l, K)
+        ).astype(np.float32)
+    # step predecessors: suffix(i, K-l) = (j >> 2) & mask(2(K-l)); l >= 2
+    for l in range(2, K):
+        mask = (1 << (2 * (K - l))) - 1
+        out[f"step_l{l}"] = (((j >> 2) & mask) == (j >> (2 * l))).astype(np.float32)
+    # skip predecessors: suffix(i, K-l) = (j >> 4) & mask(2(K-l)); l >= 3
+    for l in range(3, K):
+        mask = (1 << (2 * (K - l))) - 1
+        out[f"skip_l{l}"] = (((j >> 4) & mask) == (j >> (2 * l))).astype(np.float32)
+    return out
+
+
+def grouped_tables(p_stay, p_skip, K: int, xp=np):
+    """Build the 3 per-destination log-prob tables of the grouped Viterbi
+    decomposition: (stay_lp, step_lp, skip_lp), each (..., n).
+
+    p_stay/p_skip may be scalars or arrays (batched per read); pass xp=jnp
+    to build on device inside jit.  Probabilities follow get_trans_prob
+    (State_Transitions.hpp:125-144) exactly:
+      stay_lp[j] = log p(j -> j)                       (full sum)
+      step_lp[j] = log p(i_step -> j) for any generic step predecessor
+      skip_lp[j] = log p(i_skip -> j) for any generic skip-1 predecessor
+    """
+    m = grouped_condition_masks(K)
+    n = kmer.n_states(K)
+    # numpy path: accumulate in float64 then cast (matches the 21-slot host
+    # builder's float pipeline); device path: float32 throughout
+    acc_dtype = np.float64 if xp is np else xp.float32
+    p_stay = xp.asarray(p_stay, dtype=acc_dtype)[..., None]
+    p_skip = xp.asarray(p_skip, dtype=acc_dtype)[..., None]
+    p_step = 1.0 - p_stay - p_skip
+    p_skip_1 = p_skip / (p_skip + 1.0)
+    bg = (p_skip_1 ** (K - 1) / (1.0 - p_skip_1)) / n
+
+    def term(l):
+        return p_skip_1 ** (l - 1) / (1 << (2 * l))
+
+    stay = p_stay + m["stay_l1"] * (p_step / 4.0) + bg
+    for l in range(2, K):
+        stay = stay + m[f"stay_l{l}"] * term(l)
+    step = p_step / 4.0 + bg
+    for l in range(2, K):
+        step = step + m[f"step_l{l}"] * term(l)
+    skip = term(2) + bg
+    for l in range(3, K):
+        skip = skip + m[f"skip_l{l}"] * term(l)
+    return (
+        xp.log(stay.astype(xp.float32)).astype(xp.float32),
+        xp.log((step + xp.zeros(n, acc_dtype)).astype(xp.float32)).astype(xp.float32),
+        xp.log((skip + xp.zeros(n, acc_dtype)).astype(xp.float32)).astype(xp.float32),
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class SparseTransitions:
     """General sparse table (gather path) for arbitrary loaded transitions.

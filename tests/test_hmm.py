@@ -160,3 +160,70 @@ def test_per_batch_transition_tables(setup_k3):
         assert np.array_equal(
             np.asarray(out_b["path"])[b, :T], np.asarray(solo["path"])[0, :T]
         )
+
+
+def test_grouped_viterbi_matches_slots(setup_k3):
+    """The grouped 3-way decomposition must reproduce the 21-slot kernel
+    exactly (values and tie-broken paths)."""
+    K, st, pm, seqs = setup_k3
+    ops = hmm.make_trans_ops(st)
+    gt = hmm.make_grouped_trans(transitions.TransitionParams(), K)
+    model = hmm.make_model_arrays(*pm)
+    batch = events.pad_batch(seqs)
+    o1 = hmm.viterbi_decode(ops, model, batch)
+    o2 = hmm.viterbi_decode_grouped(gt, model, batch)
+    for b, ev in enumerate(seqs):
+        T = len(ev)
+        assert np.array_equal(
+            np.asarray(o1["path"])[b, :T], np.asarray(o2["path"])[b, :T]
+        )
+    assert np.allclose(np.asarray(o1["logp"]), np.asarray(o2["logp"]), rtol=1e-6)
+
+
+def test_grouped_viterbi_ties_and_homopolymers():
+    """Adversarial ties: few distinct emission rows force exact alpha ties,
+    exercising the duplicate-domination and tie-break proofs."""
+    K = 4
+    n = kmer.n_states(K)
+    rng = np.random.default_rng(9)
+    st = transitions.build_structured(K=K)
+    ops = hmm.make_trans_ops(st)
+    gt = hmm.make_grouped_trans(transitions.TransitionParams(), K)
+    base = rng.uniform(40, 90, 4).astype(np.float32)
+    model = hmm.make_model_arrays(
+        base[rng.integers(4, size=n)].astype(np.float32),
+        np.full(n, 1.0, np.float32),
+        np.full(n, 1.0, np.float32),
+        np.full(n, 5.0, np.float32),
+    )
+    T = 48
+    seq = events.EventSequence(
+        mean=base[rng.integers(4, size=T)],
+        stdv=np.full(T, 1.0),
+        start=np.cumsum(np.full(T, 0.02)),
+        length=np.full(T, 0.02),
+    )
+    batch = events.pad_batch([seq])
+    o1 = hmm.viterbi_decode(ops, model, batch)
+    o2 = hmm.viterbi_decode_grouped(gt, model, batch)
+    assert np.array_equal(np.asarray(o1["path"]), np.asarray(o2["path"]))
+
+
+def test_grouped_batched_params(setup_k3):
+    """Per-batch grouped tables match per-element single tables."""
+    K, st, pm, seqs = setup_k3
+    params = np.array([[0.1, 0.3], [0.15, 0.2], [0.07, 0.35], [0.1, 0.3]])
+    stay, step, skip = transitions.grouped_tables(params[:, 0], params[:, 1], K)
+    gt_b = hmm.GroupedTrans(stay_lp=stay, step_lp=step, skip_lp=skip, K=K)
+    model = hmm.make_model_arrays(*pm)
+    batch = events.pad_batch(seqs)
+    out_b = hmm.viterbi_decode_grouped(gt_b, model, batch)
+    for b, ev in enumerate(seqs):
+        gt_i = hmm.make_grouped_trans(
+            transitions.TransitionParams(params[b, 0], params[b, 1]), K
+        )
+        solo = hmm.viterbi_decode_grouped(gt_i, model, events.pad_batch([ev]))
+        T = len(ev)
+        assert np.array_equal(
+            np.asarray(out_b["path"])[b, :T], np.asarray(solo["path"])[0, :T]
+        )
