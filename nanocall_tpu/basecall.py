@@ -422,10 +422,9 @@ def select_and_assemble(tasks, summaries, cfg: Config) -> list:
                 chosen.append(best)
                 s.preferred_model[st] = best.model_name
         for t in chosen:
-            moves = np.zeros(len(t.path), np.int32)
-            if len(t.path) > 1:
-                moves[1:] = kmer.min_skip(t.path[:-1], t.path[1:], cfg.kmer_size)
-            base_seq = kmer.moves_to_base_seq(t.path, moves, cfg.kmer_size)
+            from . import native
+
+            moves, base_seq = native.moves_and_base_seq(t.path, cfg.kmer_size)
             seq_name = f"{s.read_id}:{s.base_file_name}:{t.strand}"
             log.info(
                 "best_model read [%s] strand [%d] model [%s] log_path_prob [%g]",

@@ -1,0 +1,124 @@
+"""ctypes bindings for the native host-runtime library.
+
+Loads libnanocall_native.so if built (make -C nanocall_tpu/native); every
+entry point has a numpy fallback so the framework works without the native
+build.  `available()` reports which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_HERE = os.path.dirname(__file__)
+
+
+def _load():
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    path = os.path.join(_HERE, "libnanocall_native.so")
+    if not os.path.exists(path):
+        _LIB = False
+        return _LIB
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        _LIB = False
+        return _LIB
+    c_dp = ctypes.POINTER(ctypes.c_double)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.nc_abasic_level.restype = ctypes.c_double
+    lib.nc_abasic_level.argtypes = [c_dp, ctypes.c_int64, ctypes.c_double, ctypes.c_double]
+    lib.nc_find_islands_5.restype = ctypes.c_int64
+    lib.nc_find_islands_5.argtypes = [c_dp, ctypes.c_int64, ctypes.c_double, c_i64p, ctypes.c_int64]
+    lib.nc_find_islands_windowed.restype = ctypes.c_int64
+    lib.nc_find_islands_windowed.argtypes = [
+        c_dp, ctypes.c_int64, ctypes.c_double, ctypes.c_int64, ctypes.c_int64,
+        c_i64p, ctypes.c_int64]
+    lib.nc_filter_events.restype = None
+    lib.nc_filter_events.argtypes = [c_dp, c_dp, ctypes.c_int64, ctypes.c_double, c_u8p]
+    lib.nc_moves.restype = None
+    lib.nc_moves.argtypes = [c_i32p, ctypes.c_int64, ctypes.c_int32, c_i32p]
+    lib.nc_base_seq.restype = ctypes.c_int64
+    lib.nc_base_seq.argtypes = [c_i32p, c_i32p, ctypes.c_int64, ctypes.c_int32,
+                                ctypes.c_char_p]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return bool(_load())
+
+
+def _dp(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def abasic_level(means: np.ndarray, top_percent: float, top_offset: float) -> float:
+    lib = _load()
+    means = np.ascontiguousarray(means, dtype=np.float64)
+    if lib:
+        return lib.nc_abasic_level(_dp(means), len(means), top_percent, top_offset)
+    from ..read_pipeline import detect_abasic_level
+
+    return detect_abasic_level(means, top_percent, top_offset)
+
+
+def find_islands_5(means: np.ndarray, level: float) -> list:
+    lib = _load()
+    means = np.ascontiguousarray(means, dtype=np.float64)
+    if lib:
+        out = np.zeros(2 * (len(means) // 5 + 1), dtype=np.int64)
+        cnt = lib.nc_find_islands_5(
+            _dp(means), len(means), level,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(out) // 2,
+        )
+        return [(int(out[2 * i]), int(out[2 * i + 1])) for i in range(cnt)]
+    from ..read_pipeline import find_islands_5_consec
+
+    return find_islands_5_consec(means, level)
+
+
+def filter_events(mean: np.ndarray, stdv: np.ndarray, level: float) -> np.ndarray:
+    lib = _load()
+    mean = np.ascontiguousarray(mean, dtype=np.float64)
+    stdv = np.ascontiguousarray(stdv, dtype=np.float64)
+    if lib:
+        keep = np.zeros(len(mean), dtype=np.uint8)
+        lib.nc_filter_events(
+            _dp(mean), _dp(stdv), len(mean), level,
+            keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return keep.astype(bool)
+    return (mean < level) & (stdv <= 4.0)
+
+
+def moves_and_base_seq(path: np.ndarray, K: int):
+    """(moves (n,), base_seq str) for a decoded state path."""
+    lib = _load()
+    path = np.ascontiguousarray(path, dtype=np.int32)
+    n = len(path)
+    if lib:
+        moves = np.zeros(n, dtype=np.int32)
+        lib.nc_moves(
+            path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n, K,
+            moves.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        buf = ctypes.create_string_buffer(n * K + 1)
+        ln = lib.nc_base_seq(
+            path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            moves.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n, K, buf,
+        )
+        return moves, buf.raw[:ln].decode()
+    from .. import kmer
+
+    moves = np.zeros(n, np.int32)
+    if n > 1:
+        moves[1:] = kmer.min_skip(path[:-1], path[1:], K)
+    return moves, kmer.moves_to_base_seq(path, moves, K)

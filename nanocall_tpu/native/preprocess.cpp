@@ -1,0 +1,131 @@
+// Native host-side runtime for nanocall_tpu: the sequential per-read scalar
+// scans that sit outside the TPU compute path.
+//
+// Covers the reference's host-side hot loops (Fast5_Summary.hpp):
+//   - abasic level quantile               (detect_abasic_level, :528-543)
+//   - island detection + merging + strand bounds (:545-731)
+//   - event filtering                     (filter_ed_event, :734-745)
+//   - base-sequence assembly from a decoded state path (Event.hpp:85-99,
+//     Viterbi.hpp:144-150 move computation)
+//
+// Exposed as a plain C ABI for ctypes; nanocall_tpu.native falls back to the
+// numpy implementations when this library is not built.
+//
+// Build: make -C nanocall_tpu/native   (produces libnanocall_native.so)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Sorted-quantile abasic level: value at index n*(1 - top_percent/100),
+// clamped to the last element, plus offset.
+double nc_abasic_level(const double* means, int64_t n, double top_percent,
+                       double top_offset) {
+    std::vector<double> s(means, means + n);
+    int64_t idx = (int64_t)((double)n * (1.0 - top_percent / 100.0));
+    if (idx > n - 1) idx = n - 1;
+    if (idx < 0) idx = 0;
+    std::nth_element(s.begin(), s.begin() + idx, s.end());
+    return s[idx] + top_offset;
+}
+
+// Islands of >= 5 consecutive events with mean >= level.  Writes up to
+// max_islands (start, end) pairs into out; returns the island count.
+int64_t nc_find_islands_5(const double* means, int64_t n, double level,
+                          int64_t* out, int64_t max_islands) {
+    int64_t count = 0;
+    int64_t i = 0;
+    while (i < n) {
+        if (means[i] >= level) {
+            int64_t j = i + 1;
+            while (j < n && means[j] >= level) ++j;
+            if (j - i >= 5 && count < max_islands) {
+                out[2 * count] = i;
+                out[2 * count + 1] = j;
+                ++count;
+            }
+            i = j + 1;
+        } else {
+            ++i;
+        }
+    }
+    return count;
+}
+
+// Windowed island detection (find_hairpin_islands, Fast5_Summary.hpp:613-650).
+int64_t nc_find_islands_windowed(const double* means, int64_t n, double level,
+                                 int64_t window_size, int64_t window_load,
+                                 int64_t* out, int64_t max_islands) {
+    int64_t count = 0;
+    int64_t window_start = 0, window_count = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (means[i] >= level) {
+            while (window_start + window_size <= i) {
+                if (means[window_start] >= level) --window_count;
+                ++window_start;
+            }
+            while (window_start < i && means[window_start] < level) ++window_start;
+            ++window_count;
+            if (window_count >= window_load) {
+                if (count < max_islands) {
+                    out[2 * count] = window_start;
+                    out[2 * count + 1] = i;
+                    ++count;
+                }
+                window_start = i + 1;
+                window_count = 0;
+            }
+        }
+    }
+    return count;
+}
+
+// Event filter (mean < abasic_level && stdv <= 4.0); writes a 0/1 mask.
+void nc_filter_events(const double* mean, const double* stdv, int64_t n,
+                      double abasic_level, uint8_t* keep) {
+    for (int64_t i = 0; i < n; ++i)
+        keep[i] = (mean[i] < abasic_level) && (stdv[i] <= 4.0);
+}
+
+// min_skip over consecutive path states (Kmer.hpp:51-68): moves[0] = 0,
+// moves[i] = min d with suffix(path[i-1], K-d) == prefix(path[i], K-d).
+void nc_moves(const int32_t* path, int64_t n, int32_t K, int32_t* moves) {
+    if (n == 0) return;
+    moves[0] = 0;
+    for (int64_t i = 1; i < n; ++i) {
+        uint32_t k1 = (uint32_t)path[i - 1], k2 = (uint32_t)path[i];
+        int32_t res = K;
+        if (k1 == k2) {
+            res = 0;
+        } else {
+            for (int32_t k = K - 1; k > 0; --k) {
+                if ((k1 & ((1u << (2 * k)) - 1)) == (k2 >> (2 * (K - k)))) {
+                    res = K - k;
+                    break;
+                }
+            }
+        }
+        moves[i] = res;
+    }
+}
+
+// Base-sequence assembly (Event.hpp:85-99): out must hold n*K+1 bytes;
+// returns the sequence length.
+int64_t nc_base_seq(const int32_t* path, const int32_t* moves, int64_t n,
+                    int32_t K, char* out) {
+    static const char bases[4] = {'A', 'C', 'G', 'T'};
+    int64_t pos = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t a = i == 0 ? K : std::min(moves[i], K);
+        uint32_t s = (uint32_t)path[i];
+        for (int32_t b = K - a; b < K; ++b)
+            out[pos++] = bases[(s >> (2 * (K - 1 - b))) & 0x3];
+    }
+    out[pos] = '\0';
+    return pos;
+}
+
+}  // extern "C"

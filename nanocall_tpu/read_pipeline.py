@@ -124,9 +124,11 @@ def detect_strands(num_events: int, means: np.ndarray, abasic_level: float,
     """Strand-boundary detection via the hairpin abasic island
     (Fast5_Summary.hpp:653-731).  Returns strand_bounds (t_start, t_end,
     c_start, c_end); (.., 0, 0) means template-only."""
+    from . import native
+
     bounds = [trim[0], num_events - trim[1], 0, 0]
     islands = merge_islands(
-        find_islands_5_consec(means, abasic_level), max(trim[2], trim[3])
+        native.find_islands_5(means, abasic_level), max(trim[2], trim[3])
     )
     if not islands:
         return tuple(bounds)
@@ -168,9 +170,11 @@ def filter_and_build_events(
                 mean=np.zeros(0), stdv=np.zeros(0), start=np.zeros(0),
                 length=np.zeros(0)))
             continue
+        from . import native
+
         ref_idx = bounds[0] if scale_strands_together else lo
         sel = slice(lo, hi)
-        keep = (ed.mean[sel] < abasic_level) & (ed.stdv[sel] <= 4.0)
+        keep = native.filter_events(ed.mean[sel], ed.stdv[sel], abasic_level)
         t0 = ed.start[ref_idx]
         out.append(
             EventSequence(
@@ -254,7 +258,9 @@ def summarize(path: str, models: dict, cfg: Config) -> ReadSummary:
                 return s
             s.num_ed_events = num
             means = ed.mean[:num]
-            s.abasic_level = detect_abasic_level(
+            from . import native
+
+            s.abasic_level = native.abasic_level(
                 means, cfg.abasic_level_top_percent, cfg.abasic_level_top_offset
             )
             if s.abasic_level <= 1.0:
