@@ -322,9 +322,13 @@ def run_decode_tasks(tasks, summaries, models, cfg: Config,
             transitions.TransitionParams(cfg.pr_stay, cfg.pr_skip)
         )
 
+    from .parallel.mesh import DataSharder
+
+    sharder = DataSharder(cfg.num_shards or None)
     lengths = [len(t.ev) for t in tasks]
     buckets = batching.make_buckets(
-        lengths, cfg.bucket_max_batch, BP_MEM_BUDGET, n
+        lengths, cfg.bucket_max_batch, BP_MEM_BUDGET, n,
+        align=sharder.n if sharder.active else 1,
     )
     for T, B, chunks in buckets:
         for chunk in chunks:
@@ -356,6 +360,7 @@ def run_decode_tasks(tasks, summaries, models, cfg: Config,
                 "length": length,
             }
             if all(is_sparse_task(t) for t in sub) and use_sparse_default:
+                model, ev_batch = sharder.shard((model, ev_batch), Bc)
                 out = hmm.viterbi_decode(sparse_ops, model, ev_batch)
             else:
                 # grouped (3-way) tables: exact fast path for the standard
@@ -366,6 +371,7 @@ def run_decode_tasks(tasks, summaries, models, cfg: Config,
                 gt = hmm.GroupedTrans(
                     stay_lp=stay, step_lp=step_, skip_lp=skip, K=cfg.kmer_size
                 )
+                gt, model, ev_batch = sharder.shard((gt, model, ev_batch), Bc)
                 out = hmm.viterbi_decode_grouped(gt, model, ev_batch)
             paths = np.asarray(out["path"])
             logps = np.asarray(out["logp"])

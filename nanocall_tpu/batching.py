@@ -27,11 +27,14 @@ def batch_size_for(T: int, max_batch: int, mem_budget_bytes: int, n_states: int)
     return max(1, min(max_batch, by_mem))
 
 
-def make_buckets(lengths, max_batch: int, mem_budget_bytes: int, n_states: int):
+def make_buckets(lengths, max_batch: int, mem_budget_bytes: int, n_states: int,
+                 align: int = 1):
     """Group task indices into (T, [chunks of indices]) buckets.
 
     Returns list of (padded_T, batch_size, [index_chunks]); every chunk has
     exactly batch_size slots (the caller pads short chunks with dummies).
+    `align` rounds the batch size up to a multiple (e.g. the data-parallel
+    device count, so each shard gets equal work).
     """
     groups: dict[int, list[int]] = {}
     for i, L in enumerate(lengths):
@@ -44,6 +47,7 @@ def make_buckets(lengths, max_batch: int, mem_budget_bytes: int, n_states: int):
         # two >= occupancy (keeps the compiled-shape set small without
         # wasting compute on dummy lanes)
         B = min(B, 1 << (len(idxs) - 1).bit_length() if idxs else 1)
+        B = ((B + align - 1) // align) * align
         chunks = [idxs[i : i + B] for i in range(0, len(idxs), B)]
         out.append((T, B, chunks))
     return out

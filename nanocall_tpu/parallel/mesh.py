@@ -18,6 +18,44 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+class DataSharder:
+    """Shards batch-leading arrays over a 1D 'data' mesh of local devices.
+
+    Used by the pipeline when more than one device is visible (the
+    single-host multi-chip case; batch elements are independent reads, so
+    this is pure data parallelism with no collectives — the TPU analogue of
+    the reference's thread pool over reads).
+    """
+
+    def __init__(self, n_devices: int | None = None):
+        devs = jax.devices()
+        n = n_devices if n_devices else len(devs)
+        self.n = max(1, min(n, len(devs)))
+        if self.n > 1:
+            self.mesh = Mesh(np.array(devs[: self.n]), ("data",))
+            self.spec = NamedSharding(self.mesh, P("data"))
+            self.repl = NamedSharding(self.mesh, P())
+        else:
+            self.mesh = None
+
+    @property
+    def active(self) -> bool:
+        return self.mesh is not None
+
+    def shard(self, tree, batch_size: int):
+        """device_put arrays whose leading dim equals batch_size over
+        'data'; replicate everything else."""
+        if not self.active:
+            return tree
+
+        def put(x):
+            if np.ndim(x) >= 1 and np.shape(x)[0] == batch_size:
+                return jax.device_put(x, self.spec)
+            return jax.device_put(x, self.repl)
+
+        return jax.tree_util.tree_map(put, tree)
+
+
 def make_mesh(n_devices: int | None = None, model_axis: int = 1) -> Mesh:
     """Build an (data, model) mesh over the first n_devices devices."""
     devs = jax.devices()

@@ -410,7 +410,7 @@ class EMConfig:
 
 
 def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarray,
-           cfg: EMConfig):
+           cfg: EMConfig, n_shards: int = 0):
     """Run the full EM loop for a bucket of G training groups.
 
     Implements the reference's per-candidate stopping rules
@@ -419,7 +419,13 @@ def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarra
 
     Returns (pm_params (G,6), st_params (G,2,2), fit (G,), rounds (G,)).
     """
+    from .parallel.mesh import DataSharder
+
+    sharder = DataSharder(n_shards or None)
     G = pm_params0.shape[0]
+    if sharder.active and G % sharder.n == 0:
+        ev = sharder.shard(ev, G)
+        models = sharder.shard(models, G)
     crt_pm = np.asarray(pm_params0, dtype=np.float32).copy()
     crt_st = np.asarray(st_params0, dtype=np.float32).copy()
     crt_fit = np.full(G, -np.inf, dtype=np.float64)
