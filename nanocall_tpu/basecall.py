@@ -325,6 +325,9 @@ def run_decode_tasks(tasks, summaries, models, cfg: Config,
     from .parallel.mesh import DataSharder
 
     sharder = DataSharder(cfg.num_shards or None)
+    from .observe import Progress
+
+    progress = Progress("decode tasks")
     lengths = [len(t.ev) for t in tasks]
     buckets = batching.make_buckets(
         lengths, cfg.bucket_max_batch, BP_MEM_BUDGET, n,
@@ -378,6 +381,8 @@ def run_decode_tasks(tasks, summaries, models, cfg: Config,
             for bi, t in enumerate(sub):
                 t.logp = float(logps[bi])
                 t.path = paths[bi, : len(t.ev)]
+            progress.add(len(sub))
+    progress.finish()
 
 
 @dataclasses.dataclass

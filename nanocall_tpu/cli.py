@@ -65,6 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--threads", type=int, default=1,
                    help="(accepted for CLI parity; device parallelism is used instead)")
     p.add_argument("--batch", type=int, default=64, help="decode bucket batch size")
+    p.add_argument("--trace-dir", default="", help="write a JAX profiler trace here")
     return p
 
 
@@ -186,19 +187,23 @@ def main(argv=None) -> int:
     for f in files:
         log.info("adding input file [%s]", f)
 
-    summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
+    from .observe import StageTimer, device_trace
+
+    timer = StageTimer()
+    with timer.stage("init_reads"):
+        summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
     for s in summaries:
         log.info("summary: [%s num_ed_events=%d]", s.base_file_name, s.num_ed_events)
 
     if cfg.train:
-        t0 = time.time()
-        basecall.train_reads(summaries, models, cfg)
-        log.info("training wall_secs=%.1f", time.time() - t0)
+        with timer.stage("training"), device_trace(args.trace_dir):
+            basecall.train_reads(summaries, models, cfg)
 
     if cfg.basecall:
-        t0 = time.time()
-        results = basecall.basecall_reads(summaries, models, cfg, default_transitions)
-        log.info("basecalling wall_secs=%.1f", time.time() - t0)
+        with timer.stage("basecalling"):
+            results = basecall.basecall_reads(
+                summaries, models, cfg, default_transitions
+            )
         if cfg.write_fast5:
             output.write_results_fast5(results, summaries, models, cfg)
         else:

@@ -1,0 +1,89 @@
+"""Observability: stage timing, progress reporting, device profiling.
+
+The reference logs `training user_cpu_secs=` / `basecalling user_cpu_secs=`
+(nanocall.cpp:580-581,867-868) and prints `Processed N reads in S seconds`
+progress from its thread pool (nanocall.cpp:576-579,862-866).  This module
+provides the equivalents plus JAX/XLA device profiling (xprof traces) in
+place of the reference's gprof build types (src/CMakeLists.txt:163-164).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import sys
+import time
+
+log = logging.getLogger("nanocall")
+
+
+class StageTimer:
+    """Wall + process-CPU timing per pipeline stage."""
+
+    def __init__(self):
+        self.stages: dict[str, dict] = {}
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        w0, c0 = time.time(), time.process_time()
+        try:
+            yield
+        finally:
+            rec = self.stages.setdefault(name, {"wall_s": 0.0, "cpu_s": 0.0})
+            rec["wall_s"] += time.time() - w0
+            rec["cpu_s"] += time.process_time() - c0
+            log.info(
+                "%s wall_secs=%.1f user_cpu_secs=%.1f",
+                name, rec["wall_s"], rec["cpu_s"],
+            )
+
+    def summary(self) -> dict:
+        return dict(self.stages)
+
+
+class Progress:
+    """Counter with periodic stderr reporting, matching the reference's
+    `Processed N reads in S seconds` lines."""
+
+    def __init__(self, what: str = "reads", interval_s: float = 2.0,
+                 stream=None):
+        self.what = what
+        self.interval_s = interval_s
+        self.count = 0
+        self.t0 = time.time()
+        self._last = 0.0
+        self.stream = stream if stream is not None else sys.stderr
+
+    def add(self, n: int = 1) -> None:
+        self.count += n
+        now = time.time()
+        if now - self._last >= self.interval_s:
+            self._last = now
+            self.stream.write(
+                f"Processed {self.count:6d} {self.what} in "
+                f"{int(now - self.t0):6d} seconds\r"
+            )
+            self.stream.flush()
+
+    def finish(self) -> None:
+        self.stream.write(
+            f"Processed {self.count:6d} {self.what} in "
+            f"{int(time.time() - self.t0):6d} seconds\n"
+        )
+        self.stream.flush()
+
+
+@contextlib.contextmanager
+def device_trace(trace_dir: str | None):
+    """JAX profiler trace (view with xprof/tensorboard); no-op if dir empty."""
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(trace_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        log.info("device trace written to %s", trace_dir)
