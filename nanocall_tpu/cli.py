@@ -66,6 +66,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(accepted for CLI parity; device parallelism is used instead)")
     p.add_argument("--batch", type=int, default=64, help="decode bucket batch size")
     p.add_argument("--trace-dir", default="", help="write a JAX profiler trace here")
+    p.add_argument("--resume-stats", default="",
+                   help="resume from a --stats TSV of a previous run (skips training)")
     return p
 
 
@@ -195,7 +197,11 @@ def main(argv=None) -> int:
     for s in summaries:
         log.info("summary: [%s num_ed_events=%d]", s.base_file_name, s.num_ed_events)
 
-    if cfg.train:
+    if args.resume_stats:
+        n = output.apply_resume(summaries, output.load_stats(args.resume_stats))
+        log.info("resumed trained parameters for %d reads from [%s]",
+                 n, args.resume_stats)
+    elif cfg.train:
         with timer.stage("training"), device_trace(args.trace_dir):
             basecall.train_reads(summaries, models, cfg)
 

@@ -292,14 +292,23 @@ def viterbi_forward_grouped(gt: GroupedTrans, model: ModelArrays, ev: dict):
             x[:, :, None], (B, x.shape[1], r)
         ).reshape(B, n)
 
+    def colmax(a):
+        """Max + first-occurrence argmax over axis 1 of (B, R, m) via an
+        explicit elementwise tree (middle-axis reduce/argmax ops lower
+        poorly on TPU)."""
+        R = a.shape[1]
+        m = a[:, 0]
+        g = jnp.zeros_like(m, dtype=jnp.int32)
+        for r in range(1, R):
+            take = a[:, r] > m
+            m = jnp.where(take, a[:, r], m)
+            g = jnp.where(take, r, g)
+        return m, g
+
     def step(alpha, x):
         mean_t, stdv_t, log_stdv_t, t = x
-        a4 = alpha.reshape(B, 4, n4)
-        m4 = jnp.max(a4, axis=1)  # (B, n4)
-        g4 = jnp.argmax(a4, axis=1)  # first occurrence = lowest b = lowest from
-        a16 = alpha.reshape(B, 16, n16)
-        m16 = jnp.max(a16, axis=1)
-        g16 = jnp.argmax(a16, axis=1)
+        m4, g4 = colmax(alpha.reshape(B, 4, n4))
+        m16, g16 = colmax(alpha.reshape(B, 16, n16))
 
         v0 = gt.stay_lp + alpha
         v1 = gt.step_lp + rep(m4, 4)

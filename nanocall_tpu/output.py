@@ -91,3 +91,72 @@ def write_stats(fh, summaries) -> None:
     write_stats_header(fh)
     for s in summaries:
         write_stats_row(fh, s)
+
+
+def load_stats(path) -> dict:
+    """Parse a stats TSV back into per-read trained parameters — the
+    checkpoint/resume path: a rerun with --resume-stats skips EM training
+    and decodes with these parameters (the reference's closest analogue is
+    its per-read stats dump + fast5 write-back, SURVEY.md section 5).
+
+    Returns {read_name: {strand: (model_name, PoreModelParams,
+    TransitionParams)}}.
+    """
+    out = {}
+    with open(path) as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+        idx = {c: i for i, c in enumerate(header)}
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            if len(f) < len(header):
+                continue
+            rec = {}
+            for st in (0, 1):
+                name = f[idx[f"n{st}_model_name"]]
+                if name == ".":
+                    continue
+                pm = PoreModelParams(
+                    scale=float(f[idx[f"n{st}_scale"]]),
+                    shift=float(f[idx[f"n{st}_shift"]]),
+                    drift=float(f[idx[f"n{st}_drift"]]),
+                    var=float(f[idx[f"n{st}_var"]]),
+                    scale_sd=float(f[idx[f"n{st}_scale_sd"]]),
+                    var_sd=float(f[idx[f"n{st}_var_sd"]]),
+                )
+                sp = TransitionParams(
+                    float(f[idx[f"n{st}_p_stay"]]), float(f[idx[f"n{st}_p_skip"]])
+                )
+                rec[st] = (name, pm, sp)
+            out[f[idx["read_name"]]] = rec
+    return out
+
+
+def apply_resume(summaries, stats: dict) -> int:
+    """Install resumed parameters into read summaries; returns the number of
+    reads restored.  Restored reads get a preferred model per strand, so
+    training is skipped and decoding uses the stored parameters."""
+    n = 0
+    for s in summaries:
+        rec = stats.get(s.read_id)
+        if not rec or s.num_ed_events == 0:
+            continue
+        strands = sorted(rec)
+        if s.scale_strands_together and len(strands) == 2:
+            key = (rec[0][0], rec[1][0])
+            s.pm_params[key] = rec[0][1]
+            s.st_params[key] = [rec[0][2], rec[1][2]]
+            s.preferred_model[2] = key
+            for st in strands:
+                s.preferred_model[st] = rec[st][0]
+        else:
+            s.scale_strands_together = False
+            for st in strands:
+                name, pm, sp = rec[st]
+                key = (name, "") if st == 0 else ("", name)
+                s.pm_params[key] = pm
+                sps = [TransitionParams(), TransitionParams()]
+                sps[st] = sp
+                s.st_params[key] = sps
+                s.preferred_model[st] = name
+        n += 1
+    return n

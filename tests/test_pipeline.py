@@ -123,3 +123,18 @@ def test_cli_end_to_end(sim_dir, tmp_path):
     stats_text = stats.read_text()
     assert stats_text.startswith("file_name\tread_name")
     assert len(stats_text.splitlines()) == 4
+
+
+def test_resume_from_stats(sim_dir, tmp_path):
+    """--resume-stats reproduces the trained run's FASTA without retraining."""
+    d, truths = sim_dir
+    out1 = tmp_path / "a.fa"
+    stats = tmp_path / "s.tsv"
+    rc = cli_main([str(d), "-o", str(out1), "--stats", str(stats), "--pore", "r73"])
+    assert rc == 0
+    out2 = tmp_path / "b.fa"
+    rc = cli_main([
+        str(d), "-o", str(out2), "--resume-stats", str(stats), "--pore", "r73",
+    ])
+    assert rc == 0
+    assert out1.read_text() == out2.read_text()
