@@ -76,12 +76,11 @@ def measure_tpu(B: int, T: int, n_iter: int = 8) -> dict:
         paths = np.asarray(out["path"])
     dt = (time.time() - t0) / n_iter
     # host-side move computation + base assembly for one batch (counted)
+    from nanocall_tpu import native
+
     t1 = time.time()
     for b in range(B):
-        p = paths[b]
-        moves = np.zeros(T, np.int32)
-        moves[1:] = kmer.min_skip(p[:-1], p[1:], 6)
-        kmer.moves_to_base_seq(p, moves, 6)
+        native.moves_and_base_seq(paths[b], 6)
     host_dt = time.time() - t1
     total = dt + host_dt
     return {

@@ -300,34 +300,12 @@ def build_decode_tasks(summaries, models, cfg) -> tuple[list, dict]:
     return tasks, read_events
 
 
-def run_decode_tasks(tasks, summaries, models, cfg: Config,
-                     default_transitions=None) -> None:
-    """Execute all Viterbi tasks in length buckets, filling task.logp/path.
-
-    Tasks with default (untrained) transition params and a file-loaded
-    custom table (--trans, nanocall.cpp:651-661) decode via the general
-    sparse kernel; everything else uses the grouped fast path.
-    """
+def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
+                 sparse_ops, is_sparse_task, with_path: bool,
+                 progress=None) -> None:
+    """Decode one set of tasks in length buckets, filling task.logp (and
+    task.path when with_path)."""
     n = kmer.n_states(cfg.kmer_size)
-    use_sparse_default = isinstance(default_transitions, transitions.SparseTransitions)
-    sparse_ops = (
-        hmm.make_trans_ops(default_transitions) if use_sparse_default else None
-    )
-
-    def is_sparse_task(t):
-        if not use_sparse_default:
-            return False
-        sp = summaries[t.read_idx].st_params[t.key][t.strand]
-        return sp.is_default(
-            transitions.TransitionParams(cfg.pr_stay, cfg.pr_skip)
-        )
-
-    from .parallel.mesh import DataSharder
-
-    sharder = DataSharder(cfg.num_shards or None)
-    from .observe import Progress
-
-    progress = Progress("decode tasks")
     lengths = [len(t.ev) for t in tasks]
     buckets = batching.make_buckets(
         lengths, cfg.bucket_max_batch, BP_MEM_BUDGET, n,
@@ -362,9 +340,11 @@ def run_decode_tasks(tasks, summaries, models, cfg: Config,
                 "mean": mean, "stdv": stdv, "log_stdv": np.log(stdv),
                 "length": length,
             }
-            if all(is_sparse_task(t) for t in sub) and use_sparse_default:
+            if sparse_ops is not None and all(is_sparse_task(t) for t in sub):
                 model, ev_batch = sharder.shard((model, ev_batch), Bc)
-                out = hmm.viterbi_decode(sparse_ops, model, ev_batch)
+                out = hmm.viterbi_decode(
+                    sparse_ops, model, ev_batch, with_path=with_path
+                )
             else:
                 # grouped (3-way) tables: exact fast path for the standard
                 # stay/step/skip structure, batched per task's trained params
@@ -375,14 +355,99 @@ def run_decode_tasks(tasks, summaries, models, cfg: Config,
                     stay_lp=stay, step_lp=step_, skip_lp=skip, K=cfg.kmer_size
                 )
                 gt, model, ev_batch = sharder.shard((gt, model, ev_batch), Bc)
-                out = hmm.viterbi_decode_grouped(gt, model, ev_batch)
-            paths = np.asarray(out["path"])
+                out = hmm.viterbi_decode_grouped(
+                    gt, model, ev_batch, with_path=with_path
+                )
             logps = np.asarray(out["logp"])
+            paths = np.asarray(out["path"]) if with_path else None
             for bi, t in enumerate(sub):
                 t.logp = float(logps[bi])
-                t.path = paths[bi, : len(t.ev)]
-            progress.add(len(sub))
+                if with_path:
+                    t.path = paths[bi, : len(t.ev)]
+            if progress is not None:
+                progress.add(len(sub))
+
+
+def pick_winners(tasks, summaries) -> list:
+    """Best-scoring candidate per read: joint (double-strand) candidates by
+    summed strand log-prob (nanocall.cpp:725-748), single-strand per strand
+    (nanocall.cpp:819-835).  Requires task.logp filled."""
+    by_read: dict[int, list[DecodeTask]] = {}
+    for t in tasks:
+        by_read.setdefault(t.read_idx, []).append(t)
+    winners = []
+    for ridx in sorted(by_read):
+        s = summaries[ridx]
+        rtasks = by_read[ridx]
+        if s.scale_strands_together:
+            cands: dict[tuple, dict[int, DecodeTask]] = {}
+            for t in rtasks:
+                cands.setdefault(t.key, {})[t.strand] = t
+            best_key = max(
+                cands, key=lambda k: sum(t.logp for t in cands[k].values())
+            )
+            for st in (0, 1):
+                if st in cands[best_key]:
+                    winners.append(cands[best_key][st])
+        else:
+            for st in (0, 1):
+                st_tasks = [t for t in rtasks if t.strand == st]
+                if st_tasks:
+                    winners.append(max(st_tasks, key=lambda t: t.logp))
+    return winners
+
+
+def run_decode_tasks(tasks, summaries, models, cfg: Config,
+                     default_transitions=None) -> list:
+    """Execute Viterbi tasks in two passes: score-only forward over every
+    candidate (no backpointers — XLA drops them), then full decode with
+    traceback only for the winning candidate of each read/strand.
+
+    Tasks with default (untrained) transition params and a file-loaded
+    custom table (--trans, nanocall.cpp:651-661) decode via the general
+    sparse kernel; everything else uses the grouped fast path.
+    Returns the winner tasks (with paths filled).
+    """
+    use_sparse_default = isinstance(default_transitions, transitions.SparseTransitions)
+    sparse_ops = (
+        hmm.make_trans_ops(default_transitions) if use_sparse_default else None
+    )
+
+    def is_sparse_task(t):
+        if not use_sparse_default:
+            return False
+        sp = summaries[t.read_idx].st_params[t.key][t.strand]
+        return sp.is_default(
+            transitions.TransitionParams(cfg.pr_stay, cfg.pr_skip)
+        )
+
+    from .observe import Progress
+    from .parallel.mesh import DataSharder
+
+    sharder = DataSharder(cfg.num_shards or None)
+    progress = Progress("decode tasks")
+
+    # candidate multiplicity (distinct keys) per (read [, strand]) group
+    group_keys: dict = {}
+    for t in tasks:
+        gk = (t.read_idx, None if summaries[t.read_idx].scale_strands_together
+              else t.strand)
+        group_keys.setdefault(gk, set()).add(t.key)
+
+    def multiplicity(t):
+        gk = (t.read_idx, None if summaries[t.read_idx].scale_strands_together
+              else t.strand)
+        return len(group_keys[gk])
+
+    contested = [t for t in tasks if multiplicity(t) > 1]
+    if contested:
+        _decode_pass(contested, summaries, models, cfg, sharder, sparse_ops,
+                     is_sparse_task, with_path=False, progress=progress)
+    winners = pick_winners(tasks, summaries)
+    _decode_pass(winners, summaries, models, cfg, sharder, sparse_ops,
+                 is_sparse_task, with_path=True, progress=progress)
     progress.finish()
+    return winners
 
 
 @dataclasses.dataclass
@@ -399,55 +464,31 @@ class BasecallResult:
     ev: events_mod.EventSequence
 
 
-def select_and_assemble(tasks, summaries, cfg: Config) -> list:
-    """Pick the best-scoring candidate per read (joint: by summed strand
-    logp, nanocall.cpp:725-748; single: per strand, :819-835), assemble base
-    sequences, and return results ordered by (read, strand)."""
-    by_read: dict[int, list[DecodeTask]] = {}
-    for t in tasks:
-        by_read.setdefault(t.read_idx, []).append(t)
+def select_and_assemble(winners, summaries, cfg: Config) -> list:
+    """Assemble base sequences for the winning tasks (as chosen by
+    pick_winners), record preferred models, and return results ordered by
+    (read, strand)."""
     results = []
-    for ridx in sorted(by_read):
-        s = summaries[ridx]
-        rtasks = by_read[ridx]
-        chosen: list[DecodeTask] = []
+    for t in sorted(winners, key=lambda t: (t.read_idx, t.strand)):
+        s = summaries[t.read_idx]
         if s.scale_strands_together:
-            cands: dict[tuple, dict[int, DecodeTask]] = {}
-            for t in rtasks:
-                cands.setdefault(t.key, {})[t.strand] = t
-            best_key = max(
-                cands, key=lambda k: sum(t.logp for t in cands[k].values())
-            )
-            for st in (0, 1):
-                if st in cands[best_key]:
-                    chosen.append(cands[best_key][st])
-            s.preferred_model[2] = best_key
-            for st in (0, 1):
-                s.preferred_model[st] = best_key[st]
-        else:
-            for st in (0, 1):
-                st_tasks = [t for t in rtasks if t.strand == st]
-                if not st_tasks:
-                    continue
-                best = max(st_tasks, key=lambda t: t.logp)
-                chosen.append(best)
-                s.preferred_model[st] = best.model_name
-        for t in chosen:
-            from . import native
+            s.preferred_model[2] = t.key
+        s.preferred_model[t.strand] = t.model_name
+        from . import native
 
-            moves, base_seq = native.moves_and_base_seq(t.path, cfg.kmer_size)
-            seq_name = f"{s.read_id}:{s.base_file_name}:{t.strand}"
-            log.info(
-                "best_model read [%s] strand [%d] model [%s] log_path_prob [%g]",
-                s.read_id, t.strand, t.model_name, t.logp,
+        moves, base_seq = native.moves_and_base_seq(t.path, cfg.kmer_size)
+        seq_name = f"{s.read_id}:{s.base_file_name}:{t.strand}"
+        log.info(
+            "best_model read [%s] strand [%d] model [%s] log_path_prob [%g]",
+            s.read_id, t.strand, t.model_name, t.logp,
+        )
+        results.append(
+            BasecallResult(
+                read_idx=t.read_idx, strand=t.strand, seq_name=seq_name,
+                base_seq=base_seq, model_name=t.model_name, key=t.key,
+                logp=t.logp, path=t.path, moves=moves, ev=t.ev,
             )
-            results.append(
-                BasecallResult(
-                    read_idx=ridx, strand=t.strand, seq_name=seq_name,
-                    base_seq=base_seq, model_name=t.model_name, key=t.key,
-                    logp=t.logp, path=t.path, moves=moves, ev=t.ev,
-                )
-            )
+        )
     return results
 
 
@@ -456,5 +497,5 @@ def basecall_reads(summaries, models, cfg: Config, default_transitions=None) -> 
     tasks, _ = build_decode_tasks(summaries, models, cfg)
     if not tasks:
         return []
-    run_decode_tasks(tasks, summaries, models, cfg, default_transitions)
-    return select_and_assemble(tasks, summaries, cfg)
+    winners = run_decode_tasks(tasks, summaries, models, cfg, default_transitions)
+    return select_and_assemble(winners, summaries, cfg)

@@ -365,11 +365,13 @@ def viterbi_traceback_grouped(gt: GroupedTrans, final_alpha, bp, lengths):
         k = jnp.sum(jnp.where(onehot, bp_t.astype(jnp.int32), 0), axis=-1)
         s_prev = grouped_from_state(k.astype(jnp.uint8), s_eff, K)
         s_new = jnp.where((t <= lengths - 1) & (t > 0), s_prev, s_eff)
-        return s_new, s_eff
+        return s_new, s_eff.astype(jnp.uint16)
 
     xs = (bp[1:][::-1], jnp.arange(T - 1, 0, -1))
     s_last, path_rev = jax.lax.scan(step, end_state, xs)
-    path = jnp.concatenate([s_last[None, :], path_rev[::-1]], axis=0)
+    path = jnp.concatenate(
+        [s_last[None, :].astype(jnp.uint16), path_rev[::-1]], axis=0
+    )
     return jnp.moveaxis(path, 0, 1), path_logp
 
 
@@ -457,11 +459,13 @@ def viterbi_traceback(ops: TransOps, final_alpha, bp, lengths):
         else:
             s_prev = from_state_of_slot(k, s_eff, K)
         s_new = jnp.where((t <= lengths - 1) & (t > 0), s_prev, s_eff)
-        return s_new, s_eff
+        return s_new, s_eff.astype(jnp.uint16)
 
     xs = (bp[1:][::-1], jnp.arange(T - 1, 0, -1))
     s_last, path_rev = jax.lax.scan(step, end_state, xs)
-    path = jnp.concatenate([s_last[None, :], path_rev[::-1]], axis=0)  # (T, B)
+    path = jnp.concatenate(
+        [s_last[None, :].astype(jnp.uint16), path_rev[::-1]], axis=0
+    )  # (T, B) uint16 (states < 4^K <= 65536; halves the host transfer)
     return jnp.moveaxis(path, 0, 1), path_logp
 
 

@@ -1,0 +1,86 @@
+"""fast5 I/O: read/write round-trips and basecall write-back."""
+
+import numpy as np
+import pytest
+
+from nanocall_tpu import fast5_io, pore_model
+from nanocall_tpu.cli import main as cli_main
+from nanocall_tpu.models import load_builtin_models
+from nanocall_tpu import simulate
+
+
+def test_write_read_roundtrip(tmp_path):
+    path = str(tmp_path / "x.fast5")
+    rng = np.random.default_rng(0)
+    mean = rng.uniform(40, 90, 100)
+    stdv = rng.uniform(0.5, 1.5, 100)
+    start = np.cumsum(rng.integers(10, 40, 100)).astype(float)
+    length = rng.integers(10, 40, 100).astype(float)
+    fast5_io.write_fast5(path, mean, stdv, start, length, sampling_rate=4321.0,
+                         read_id="abc")
+    assert fast5_io.is_valid_file(path)
+    assert not fast5_io.is_valid_file(__file__)
+    with fast5_io.Fast5File(path) as f:
+        assert f.have_sampling_rate()
+        assert f.get_sampling_rate() == 4321.0
+        assert f.have_eventdetection_events("000")
+        ed = f.get_eventdetection_events("000")
+        assert ed.read_id == "abc"
+        assert np.allclose(ed.mean, mean)
+        assert np.allclose(ed.stdv, stdv)
+
+
+def test_next_basecall_group():
+    assert fast5_io.next_basecall_group([]) == "Nanocall_000"
+    assert fast5_io.next_basecall_group(["Nanocall_000", "Other"]) == "Nanocall_001"
+    assert (
+        fast5_io.next_basecall_group(["Nanocall_000", "Nanocall_002"])
+        == "Nanocall_001"
+    )
+
+
+def test_write_fast5_end_to_end(tmp_path):
+    """--write-fast5 persists seq/events/model/params; a rerun reserves the
+    next Nanocall group; compute-scaled-pore-model reads it back."""
+    models = load_builtin_models("r73")
+    rng = np.random.default_rng(7)
+    d = tmp_path / "reads"
+    d.mkdir()
+    simulate.write_sim_fast5(
+        d / "r.fast5", models, "r73.t.006", None, 300, rng, read_id="r",
+        noise_scale=0.5,
+    )
+    rc = cli_main([str(d), "--write-fast5", "--no-train", "--1d", "--pore", "r73"])
+    assert rc == 0
+    import h5py
+
+    with h5py.File(d / "r.fast5", "r") as f:
+        g = f["/Analyses/Nanocall_000/BaseCalled_template"]
+        fastq = g["Fastq"][()].decode()
+        assert fastq.startswith("@r:r:0\n")
+        seq = fastq.splitlines()[1]
+        assert len(seq) > 100 and set(seq) <= set("ACGT")
+        ev = g["Events"][()]
+        assert len(ev) > 100
+        assert ev["model_state"][0].decode() == seq[:6]
+        mdl = g["Model"][()]
+        assert len(mdl) == 4096
+        assert g.attrs["scale"] > 0
+
+    # rerun must not clobber: goes to Nanocall_001
+    rc = cli_main([str(d), "--write-fast5", "--no-train", "--1d", "--pore", "r73"])
+    assert rc == 0
+    with h5py.File(d / "r.fast5", "r") as f:
+        assert "Nanocall_001" in f["/Analyses"]
+
+    # compute-scaled-pore-model reads the written model + params back
+    from nanocall_tpu import tools
+
+    out = tmp_path / "scaled.tsv"
+    rc = tools.main([
+        "compute-scaled-pore-model", "-f", str(d / "r.fast5"), "-s", "0",
+        "-o", str(out),
+    ])
+    assert rc == 0
+    spm = pore_model.load_tsv(out)
+    assert spm.n_states == 4096
