@@ -93,7 +93,7 @@ def measure_tpu(B: int, T: int, n_iter: int = 8) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reads", type=int, default=128)
+    ap.add_argument("--reads", type=int, default=256)
     ap.add_argument("--events", type=int, default=4096)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="re-measure CPU baseline")

@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace-dir", default="", help="write a JAX profiler trace here")
     p.add_argument("--resume-stats", default="",
                    help="resume from a --stats TSV of a previous run (skips training)")
+    # multi-host (pod slice) execution
+    p.add_argument("--coordinator", default="",
+                   help="multi-host coordinator address host:port")
+    p.add_argument("--num-hosts", type=int, default=1)
+    p.add_argument("--host-id", type=int, default=0)
     return p
 
 
@@ -181,11 +186,24 @@ def main(argv=None) -> int:
     logging.basicConfig(level=level, format="%(name)s: %(levelname)s: %(message)s")
     cfg = config_from_args(args)
 
+    from .parallel import multihost
+
+    multi = args.num_hosts > 1
+    if multi and args.coordinator:
+        multihost.init_distributed(args.coordinator, args.num_hosts, args.host_id)
+
     models = init_models(cfg)
     default_transitions = init_transitions(cfg)
     files = read_pipeline.init_files(args.inputs)
     if not files:
         raise SystemExit("no fast5 files to process")
+    if multi:
+        files = multihost.partition_files(files, args.host_id, args.num_hosts)
+        cfg.output = multihost.shard_output_path(
+            args.output or "out.fa", args.host_id, args.num_hosts
+        )
+        log.info("host %d/%d: %d files -> %s",
+                 args.host_id, args.num_hosts, len(files), cfg.output)
     for f in files:
         log.info("adding input file [%s]", f)
 
@@ -221,8 +239,20 @@ def main(argv=None) -> int:
                     fh.close()
 
     if cfg.stats_fn:
-        with open(cfg.stats_fn, "w") as fh:
+        stats_path = (
+            multihost.shard_output_path(cfg.stats_fn, args.host_id, args.num_hosts)
+            if multi else cfg.stats_fn
+        )
+        with open(stats_path, "w") as fh:
             output.write_stats(fh, summaries)
+
+    if multi:
+        if args.coordinator:
+            multihost.barrier("basecall-done")
+        if args.host_id == 0:
+            multihost.merge_shards(args.output or "out.fa", args.num_hosts)
+            log.info("merged %d shards into %s", args.num_hosts,
+                     args.output or "out.fa")
     return 0
 
 
