@@ -28,7 +28,7 @@ from .transitions import TransitionParams
 
 log = logging.getLogger("nanocall")
 
-BP_MEM_BUDGET = 2 << 30  # backpointer HBM budget for decode buckets
+BP_MEM_BUDGET = 6 << 30  # backpointer HBM budget for decode buckets
 
 
 # ---------------------------------------------------------------------------

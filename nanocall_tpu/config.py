@@ -57,7 +57,7 @@ class Config:
     kmer_size: int = 6
     # device batching: max padded events per decode bucket element and max
     # batch elements per bucket launch (memory control)
-    bucket_max_batch: int = 64
+    bucket_max_batch: int = 256
     train_group_batch: int = 64
     # parallel
     num_shards: int = 0  # 0 = use all local devices
