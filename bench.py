@@ -47,6 +47,10 @@ def measure_cpu(reads: int, events: int) -> float:
 def measure_tpu(B: int, T: int, n_iter: int = 8) -> dict:
     import jax
 
+    from nanocall_tpu.observe import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from nanocall_tpu import kmer, transitions
     from nanocall_tpu.models import load_builtin_models
     from nanocall_tpu.ops import hmm
@@ -91,13 +95,74 @@ def measure_tpu(B: int, T: int, n_iter: int = 8) -> dict:
     }
 
 
+def measure_e2e(n_reads: int, n_events: int, train: bool) -> dict:
+    """Full pipeline (simulated fast5 -> FASTA) wall-clock reads/s."""
+    import tempfile
+
+    import numpy as np
+
+    from nanocall_tpu import basecall, read_pipeline, simulate
+    from nanocall_tpu.config import Config
+    from nanocall_tpu.models import load_builtin_models
+    from nanocall_tpu.observe import enable_compilation_cache
+
+    enable_compilation_cache()
+    models = load_builtin_models("r73")
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as d:
+        for i in range(n_reads):
+            simulate.write_sim_fast5(
+                os.path.join(d, f"r{i}.fast5"), models, "r73.t.006",
+                "r73.c.p1.006" if i % 2 else None, n_events, rng,
+                read_id=f"r{i}", noise_scale=0.7,
+            )
+        cfg = Config(train=train).apply_pore_preset()
+        files = read_pipeline.init_files([d])
+        t0 = time.time()
+        summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
+        t_sum = time.time() - t0
+        if train:
+            basecall.train_reads(summaries, models, cfg)
+        t_train = time.time() - t0 - t_sum
+        results = basecall.basecall_reads(summaries, models, cfg)
+        dt = time.time() - t0
+        total_events = sum(s.num_ed_events for s in summaries)
+    return {
+        "reads_per_s": round(n_reads / dt, 2),
+        "events_per_s": round(total_events / dt),
+        "seconds": round(dt, 1),
+        "summarize_s": round(t_sum, 1),
+        "train_s": round(t_train, 1),
+        "basecall_s": round(dt - t_sum - t_train, 1),
+        "n_seqs": len(results),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=256)
     ap.add_argument("--events", type=int, default=4096)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="re-measure CPU baseline")
+    ap.add_argument("--e2e", action="store_true",
+                    help="benchmark the full fast5->FASTA pipeline instead")
+    ap.add_argument("--no-train", action="store_true")
     args = ap.parse_args()
+
+    if args.e2e:
+        res = measure_e2e(
+            args.reads if args.reads != 256 else 64,
+            args.events, train=not args.no_train,
+        )
+        cpu = CPU_BASELINE_EVENTS_PER_S
+        print(json.dumps({
+            "metric": "e2e_pipeline_events_per_s",
+            "value": round(res["events_per_s"]),
+            "unit": "events/s",
+            "vs_baseline": round(res["events_per_s"] / cpu, 2),
+            "detail": res,
+        }))
+        return
 
     B, T = args.reads, args.events
     if args.quick:

@@ -186,8 +186,10 @@ def main(argv=None) -> int:
     logging.basicConfig(level=level, format="%(name)s: %(levelname)s: %(message)s")
     cfg = config_from_args(args)
 
+    from .observe import enable_compilation_cache
     from .parallel import multihost
 
+    enable_compilation_cache()
     multi = args.num_hosts > 1
     if multi and args.coordinator:
         multihost.init_distributed(args.coordinator, args.num_hosts, args.host_id)

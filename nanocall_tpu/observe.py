@@ -73,6 +73,22 @@ class Progress:
         self.stream.flush()
 
 
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persist XLA executables across processes (compiles through the
+    remote-TPU path cost 10-60s; cached reloads are ~instant)."""
+    import os
+
+    import jax
+
+    try:
+        cache_dir = path or os.path.expanduser("~/.cache/nanocall_tpu_xla")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization; never fatal
+        log.debug("compilation cache unavailable: %s", e)
+
+
 @contextlib.contextmanager
 def device_trace(trace_dir: str | None):
     """JAX profiler trace (view with xprof/tensorboard); no-op if dir empty."""
