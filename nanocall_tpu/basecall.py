@@ -117,10 +117,13 @@ def build_train_groups(summaries, models, cfg):
 
 
 def pack_train_batch(groups, summaries, models, cfg, pad_T=None, pad_G=None):
-    """Pack TrainGroups into the arrays consumed by train.train_one_round."""
+    """Pack TrainGroups into the arrays consumed by train.train_one_round.
+
+    S is always padded to 4 (2 subsequences x 2 strands) so single- and
+    double-strand workloads share one compiled training shape."""
     n = kmer.n_states(cfg.kmer_size)
     G = pad_G or len(groups)
-    S = max(len(g.seqs) for g in groups)
+    S = max(4, max(len(g.seqs) for g in groups))
     T = pad_T or max(len(e) for g in groups for e, _ in g.seqs)
     ev = {
         "mean": np.ones((G, S, T), np.float32),

@@ -16,8 +16,13 @@ MIN_BUCKET = 128
 
 
 def bucket_length(n_events: int, min_bucket: int = MIN_BUCKET) -> int:
-    """Smallest power-of-two bucket >= n_events."""
-    return max(min_bucket, 1 << math.ceil(math.log2(max(n_events, 1))))
+    """Padded bucket length: power of two up to 2048, then multiples of
+    2048 (pure powers of two waste up to 2x compute on long reads; the
+    persistent compilation cache makes the larger shape set cheap)."""
+    n = max(n_events, 1)
+    if n <= 2048:
+        return max(min_bucket, 1 << math.ceil(math.log2(n)))
+    return ((n + 2047) // 2048) * 2048
 
 
 def batch_size_for(T: int, max_batch: int, mem_budget_bytes: int, n_states: int) -> int:
@@ -42,11 +47,17 @@ def make_buckets(lengths, max_batch: int, mem_budget_bytes: int, n_states: int,
     out = []
     for T in sorted(groups):
         idxs = groups[T]
-        B = batch_size_for(T, max_batch, mem_budget_bytes, n_states)
-        # don't pad small buckets up to the full batch: use the next power of
-        # two >= occupancy (keeps the compiled-shape set small without
-        # wasting compute on dummy lanes)
-        B = min(B, 1 << (len(idxs) - 1).bit_length() if idxs else 1)
+        cap = batch_size_for(T, max_batch, mem_budget_bytes, n_states)
+        # quantize the batch size to a tiny set of shapes {8, 64, cap}: the
+        # remote-TPU compiler costs minutes per shape, so shape stability
+        # beats padding waste (the persistent cache then amortizes fully)
+        need = min(cap, len(idxs))
+        for q in (8, 64):
+            if need <= q <= cap:
+                B = q
+                break
+        else:
+            B = cap
         B = ((B + align - 1) // align) * align
         chunks = [idxs[i : i + B] for i in range(0, len(idxs), B)]
         out.append((T, B, chunks))

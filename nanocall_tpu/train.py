@@ -60,6 +60,14 @@ def st_train_neighbours(K: int) -> np.ndarray:
     return kmer.neighbour_list(K, 1)[st_train_kmers(K)]
 
 
+@functools.lru_cache(maxsize=None)
+def st_train_mask(K: int) -> np.ndarray:
+    """(n_states,) float32 mask: 1 for transition-training k-mers, else 0."""
+    m = np.zeros(kmer.n_states(K), dtype=np.float32)
+    m[st_train_kmers(K)] = 1.0
+    return m
+
+
 def _solve3_pivoted(A, B, train_drift: bool):
     """Vectorized 3x3 Gaussian elimination with scaled partial pivoting,
     mirroring Parameter_Trainer.hpp:322-390.
@@ -311,19 +319,24 @@ def train_one_round(
 
 def _train_st_params(alpha, beta, em, lpd, w, ev, st_params, K, G, S, T):
     """Posterior-ratio estimation of p_stay/p_skip
-    (Parameter_Trainer.hpp:434-532), vectorized over groups/strands."""
-    sk = jnp.asarray(st_train_kmers(K))  # (J,)
-    nbr = jnp.asarray(st_train_neighbours(K))  # (J, 4)
+    (Parameter_Trainer.hpp:434-532), vectorized over groups/strands.
+
+    Gather-free formulation: all per-k-mer quantities are computed over the
+    FULL state axis with reshape/tile patterns (the 4 step successors of j1
+    are the contiguous block at suffix(j1, K-1) << 2), and the training
+    k-mer subset (hpp:30-57) enters only as a static -inf mask in the final
+    reductions.  Large static-index gathers made the XLA/TPU compile
+    pathological (~10 minutes); this compiles fast and runs on pure VPU
+    reshapes.
+    """
     B = G * S
+    n = alpha.shape[-1]
+    n4 = n // 4
     lpd_b = lpd[:, None, None]
 
-    # slices over the training k-mer subset
-    a_i = alpha[:, :-1, :][:, :, sk]  # (B, T-1, J)
-    b_i = beta[:, :-1, :][:, :, sk]
-    b_n = beta[:, 1:, :][:, :, sk]
-    e_n = em[:, 1:, :][:, :, sk]
-
-    lp_j1 = a_i + b_i - lpd_b  # log Pr[S_i = j1]
+    a_i = alpha[:, :-1, :]  # (B, Tm, n)
+    b_i = beta[:, :-1, :]
+    lp_j1 = a_i + b_i - lpd_b  # log Pr[S_i = j1], all states
 
     strand = ev["strand"]  # (G, S)
     p_stay_cur = jnp.take_along_axis(st_params[..., 0], strand, axis=1)  # (G, S)
@@ -333,41 +346,39 @@ def _train_st_params(alpha, beta, em, lpd, w, ev, st_params, K, G, S, T):
         :, None, None
     ]
 
-    # stay joint: alpha_i + p_stay + em_{i+1}(j1) + beta_{i+1}(j1) - lpd,
-    # clamped to <= lp_j1 (hpp:479-488)
-    lp_stay = jnp.minimum(a_i + log_p_stay + e_n + b_n - lpd_b, lp_j1)
+    g = em[:, 1:, :] + beta[:, 1:, :]  # (B, Tm, n)
+    # stay joint, clamped to <= lp_j1 (hpp:479-488)
+    lp_stay = jnp.minimum(a_i + log_p_stay + g - lpd_b, lp_j1)
 
-    # step joints to the 4 distance-1 successors (hpp:493-499)
-    e_n4 = em[:, 1:, :][:, :, nbr]  # (B, T-1, J, 4)
-    b_n4 = beta[:, 1:, :][:, :, nbr]
-    lp_step = a_i[..., None] + log_p_step_4[..., None] + e_n4 + b_n4 - lpd_b[..., None]
+    # sum over the 4 step successors of j1: successors form the contiguous
+    # 4-block at suffix(j1, K-1) << 2, so sum exp(g) over 4-blocks and tile
+    m_g = jnp.max(g, axis=-1, keepdims=True)  # per (B, t) shift
+    safe_m = jnp.where(jnp.isfinite(m_g), m_g, 0.0)
+    eg4 = jnp.exp(g - safe_m).reshape(B, T - 1, n4, 4).sum(axis=-1)  # (B,Tm,n4)
+    # value at j1 = eg4[suffix(j1, K-1)] = eg4[j1 mod n4]: tile along states
+    lsum4 = safe_m + jnp.log(jnp.tile(eg4, (1, 1, 4)))  # (B, Tm, n)
+    lp_steps = a_i + log_p_step_4 + lsum4 - lpd_b  # lse of the 4 step joints
 
-    # lp_d01 = logsumexp(stay, 4 steps), clamped to <= lp_j1 (hpp:491-510)
-    cat = jnp.concatenate([lp_stay[..., None], lp_step], axis=-1)  # (B, T-1, J, 5)
-    m = jnp.max(cat, axis=-1)
-    safe = jnp.where(jnp.isfinite(m), m, 0.0)
-    lp_d01 = jnp.where(
-        jnp.isfinite(m),
-        safe + jnp.log(jnp.sum(jnp.exp(cat - safe[..., None]), axis=-1)),
-        m,
-    )
-    lp_d01 = jnp.minimum(lp_d01, lp_j1)
+    # lp_d01 = logsumexp(clamped stay, steps), clamped to <= lp_j1
+    # (hpp:491-510)
+    lp_d01 = jnp.minimum(jnp.logaddexp(lp_stay, lp_steps), lp_j1)
 
     # skip mass: Pr[j1] - Pr[d <= 1] (hpp:511-512), >= 0 by the clamps
     p_d2 = jnp.maximum(jnp.exp(lp_j1) - jnp.exp(lp_d01), 0.0)
     lp_d2 = jnp.log(p_d2)
 
-    # masks: transitions need events i and i+1 valid (i < len-1)
+    # masks: training k-mer subset (static) x valid transitions (i < len-1)
+    subset = jnp.asarray(st_train_mask(K)) > 0  # (n,)
     t_idx = jnp.arange(T - 1)[None, :]
     w_tr = (t_idx < ev["length"].reshape(B)[:, None] - 1) & ev["valid"].reshape(B)[
         :, None
     ]
-    w_tr = w_tr[:, :, None]  # (B, T-1, 1)
+    w_tr = w_tr[:, :, None] & subset[None, None, :]  # (B, T-1, n)
 
     new_st = []
     for st in range(2):
         m_st = (strand == st).reshape(B)[:, None, None] & w_tr
-        m_grp = m_st.reshape(G, S, T - 1, 1)
+        m_grp = m_st.reshape(G, S, T - 1, -1)
 
         def red(x):
             return _masked_lse(
