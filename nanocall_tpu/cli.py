@@ -134,7 +134,9 @@ def init_models(cfg: Config) -> dict:
     for s in cfg.model_files:
         specs.append(s)
     if cfg.model_fofn:
-        with open(cfg.model_fofn) as fh:
+        from .util import zopen
+
+        with zopen(cfg.model_fofn) as fh:
             specs += [line.strip() for line in fh if line.strip()]
     models = {}
     if specs:

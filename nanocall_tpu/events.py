@@ -58,7 +58,10 @@ class EventSequence:
 def load_tsv(path) -> EventSequence:
     """Load events from the dev-tool TSV (mean, stdv, start, length per line;
     run-viterbi.cpp:46-52 / Event.hpp:59-68)."""
-    data = np.loadtxt(path, dtype=np.float64, ndmin=2)
+    from .util import zopen
+
+    with zopen(path) as fh:
+        data = np.loadtxt(fh, dtype=np.float64, ndmin=2)
     return EventSequence(
         mean=data[:, 0], stdv=data[:, 1], start=data[:, 2], length=data[:, 3]
     )

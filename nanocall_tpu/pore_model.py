@@ -157,7 +157,9 @@ def load_tsv(path, K: int = 6, strand: int = BOTH, name: str = "") -> PoreModel:
     ss = np.zeros(n, dtype=np.float32)
     seen = np.zeros(n, dtype=bool)
     count = 0
-    with open(path) as fh:
+    from .util import zopen
+
+    with zopen(path) as fh:
         for line in fh:
             parts = line.split()
             if not parts or parts[0].startswith("#") or "kmer" in line:

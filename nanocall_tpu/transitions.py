@@ -473,7 +473,9 @@ def load_tsv(path, K: int = 6) -> SparseTransitions:
     """Load a transition table from the reference TSV format
     (State_Transitions.hpp:237-252)."""
     pairs = []
-    with open(path) as fh:
+    from .util import zopen
+
+    with zopen(path) as fh:
         for line in fh:
             parts = line.split()
             if not parts:

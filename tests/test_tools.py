@@ -94,3 +94,29 @@ def test_dense_vs_fast_tools(tmp_path):
     Md = oracle.dense_logp(transitions.load_tsv(dense_p, K), K)
     both = np.isfinite(Mf) & np.isfinite(Md)
     assert np.allclose(Mf[both], Md[both], atol=1e-5)
+
+
+def test_gzip_transparent_inputs(tsv_fixtures, tmp_path, capsys):
+    """Model/transition/event TSVs may be gzip-compressed (zstr parity)."""
+    import gzip
+    import shutil
+
+    pm_path, st_path, ev_path = tsv_fixtures
+    gz = {}
+    for name, p in [("pm", pm_path), ("st", st_path), ("ev", ev_path)]:
+        gz_path = tmp_path / (p.name + ".gz")
+        with open(p, "rb") as fi, gzip.open(gz_path, "wb") as fo:
+            shutil.copyfileobj(fi, fo)
+        gz[name] = gz_path
+    rc = tools.main([
+        "run-viterbi", "-p", str(gz["pm"]), "-s", str(gz["st"]),
+        "-e", str(gz["ev"]), "-K", str(K),
+    ])
+    assert rc == 0
+    seq_gz = capsys.readouterr().out.strip()
+    rc = tools.main([
+        "run-viterbi", "-p", str(pm_path), "-s", str(st_path),
+        "-e", str(ev_path), "-K", str(K),
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == seq_gz
