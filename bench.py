@@ -118,19 +118,30 @@ def measure_e2e(n_reads: int, n_events: int, train: bool) -> dict:
             )
         cfg = Config(train=train).apply_pore_preset()
         files = read_pipeline.init_files([d])
+
+        def run_once():
+            t0 = time.time()
+            summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
+            t_sum = time.time() - t0
+            if train:
+                basecall.train_reads(summaries, models, cfg)
+            t_train = time.time() - t0 - t_sum
+            results = basecall.basecall_reads(summaries, models, cfg)
+            return summaries, results, t_sum, t_train, time.time() - t0
+
+        # pass 1 warms the per-process deferred device compiles (the axon
+        # remote-compile backend compiles at first execution; minutes per
+        # program shape); pass 2 is the steady-state measurement
         t0 = time.time()
-        summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
-        t_sum = time.time() - t0
-        if train:
-            basecall.train_reads(summaries, models, cfg)
-        t_train = time.time() - t0 - t_sum
-        results = basecall.basecall_reads(summaries, models, cfg)
-        dt = time.time() - t0
+        run_once()
+        warm_s = time.time() - t0
+        summaries, results, t_sum, t_train, dt = run_once()
         total_events = sum(s.num_ed_events for s in summaries)
     return {
         "reads_per_s": round(n_reads / dt, 2),
         "events_per_s": round(total_events / dt),
         "seconds": round(dt, 1),
+        "warmup_compile_s": round(warm_s, 1),
         "summarize_s": round(t_sum, 1),
         "train_s": round(t_train, 1),
         "basecall_s": round(dt - t_sum - t_train, 1),
