@@ -186,3 +186,46 @@ def test_em_fit_improves():
         K=K, train_drift=False,
     )
     assert float(out2["fit"][0]) >= float(out1["fit"][0]) - 1e-3
+
+
+def test_em_recovers_transition_params():
+    """EM transition training should move p_stay/p_skip toward the
+    kinetics the events were generated with."""
+    rng = np.random.default_rng(21)
+    models = make_models(rng)
+    # generate with high stay, low skip
+    true_stay, true_skip = 0.3, 0.08
+
+    def sample(T):
+        st_tbl = transitions.build_structured(
+            transitions.TransitionParams(true_stay, true_skip), K
+        )
+        import oracle
+
+        M = np.exp(oracle.dense_logp(st_tbl, K))
+        M = M / M.sum(axis=1, keepdims=True)
+        s = rng.integers(N)
+        means, stdvs, starts, lengths = [], [], [], []
+        t = 0.0
+        pm = models[0]
+        for _ in range(T):
+            means.append(rng.normal(pm.level_mean[s], pm.level_stdv[s] * 0.3))
+            stdvs.append(max(rng.normal(pm.sd_mean[s], pm.sd_stdv[s]), 0.05))
+            starts.append(t)
+            t += 0.02
+            lengths.append(0.02)
+            s = rng.choice(N, p=M[s])
+        return events.EventSequence(mean=means, stdv=stdvs, start=starts,
+                                    length=lengths)
+
+    seqs = [(sample(80), 0), (sample(80), 0)]
+    pm0 = pore_model.PoreModelParams()
+    st0 = [[[0.1, 0.3], [0.1, 0.3]]]
+    ev, mdl, pm_arr, st_arr = build_train_batch([seqs], models, [pm0], st0)
+    cfg = train.EMConfig(K=K, train_drift=False, double_strand=False,
+                         train_scaling=False, max_rounds=8, min_progress=0.0)
+    pm_f, st_f, fit, rounds = train.run_em(ev, mdl, pm_arr, st_arr, cfg)
+    p_stay, p_skip = float(st_f[0, 0, 0]), float(st_f[0, 0, 1])
+    # moved decisively toward the generating kinetics
+    assert p_stay > 0.2, p_stay
+    assert p_skip < 0.2, p_skip
