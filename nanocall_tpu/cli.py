@@ -215,7 +215,9 @@ def main(argv=None) -> int:
 
     timer = StageTimer()
     with timer.stage("init_reads"):
-        summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
+        summaries = read_pipeline.summarize_many(
+            files, models, cfg, workers=max(1, args.threads)
+        )
     for s in summaries:
         log.info("summary: [%s num_ed_events=%d]", s.base_file_name, s.num_ed_events)
 

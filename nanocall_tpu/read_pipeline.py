@@ -319,6 +319,17 @@ def load_events(summary: ReadSummary, cfg: Config) -> list:
     )
 
 
+def summarize_many(files: list, models: dict, cfg: Config, workers: int = 4) -> list:
+    """Summarize reads with a small thread pool (HDF5 reads release the GIL
+    during I/O; order of the result matches `files`)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if workers <= 1 or len(files) <= 1:
+        return [summarize(f, models, cfg) for f in files]
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(lambda f: summarize(f, models, cfg), files))
+
+
 def init_files(inputs: list, log_fn=None) -> list:
     """Resolve CLI inputs into a list of fast5 files (nanocall.cpp:198-261):
     directories are scanned one level, non-fast5 files are read as fofn,

@@ -452,6 +452,7 @@ def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarra
             train_scaling=cfg.train_scaling,
             train_transitions=cfg.train_transitions,
         )
+        out = jax.device_get(out)  # one host round-trip for all outputs
         fit = np.asarray(out["fit"], dtype=np.float64)
         new_pm = np.asarray(out["new_pm_params"])
         new_st = np.asarray(out["new_st_params"])
