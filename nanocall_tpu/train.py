@@ -420,16 +420,111 @@ class EMConfig:
     K: int = 6
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "train_drift", "train_scaling", "train_transitions",
+                     "max_rounds"),
+)
+def run_em_device(
+    ev: dict,
+    models: dict,
+    pm_params0,
+    st_params0,
+    min_progress,
+    K: int = 6,
+    train_drift: bool = True,
+    train_scaling: bool = True,
+    train_transitions: bool = True,
+    max_rounds: int = 20,
+):
+    """The full EM loop as ONE device program: a lax.while_loop over rounds
+    whose body is train_one_round plus the reference's per-candidate
+    stopping rules (nanocall.cpp:367-426) as masked updates:
+      - singularity -> freeze with current params,
+      - fit regression -> revert fit, freeze (params were not yet updated),
+      - accept new params otherwise; freeze on min-progress after round 1,
+      - global cap max_rounds.
+    Exits early when every group is frozen.  One dispatch per bucket
+    (host-driven per-round stepping costs ~0.5s of relay latency per round).
+
+    Returns (pm_params (G,6), st_params (G,2,2), fit (G,), rounds (G,)).
+    """
+    G = pm_params0.shape[0]
+
+    def body(carry):
+        pm, st, fit_prev, frozen, rounds, round_no = carry
+        out = train_one_round(
+            ev, models, pm, st, K=K, train_drift=train_drift,
+            train_scaling=train_scaling, train_transitions=train_transitions,
+        )
+        fit = out["fit"]
+        done = out["done"]
+        active = ~frozen
+        crt_fit = jnp.where(active, fit, fit_prev)
+        frozen2 = frozen | (active & done)
+        regress = active & ~done & (crt_fit < fit_prev)
+        crt_fit = jnp.where(regress, fit_prev, crt_fit)
+        frozen2 = frozen2 | regress
+        advance = active & ~done & ~regress
+        pm = jnp.where(advance[:, None], out["new_pm_params"], pm)
+        st = jnp.where(advance[:, None, None], out["new_st_params"], st)
+        rounds = jnp.where(advance, rounds + 1, rounds)
+        no_progress = advance & (rounds > 1) & (crt_fit < fit_prev + min_progress)
+        frozen2 = frozen2 | no_progress
+        return pm, st, crt_fit, frozen2, rounds, round_no + 1
+
+    def cond(carry):
+        _, _, _, frozen, _, round_no = carry
+        return (~jnp.all(frozen)) & (round_no < max_rounds)
+
+    init = (
+        jnp.asarray(pm_params0, jnp.float32),
+        jnp.asarray(st_params0, jnp.float32),
+        jnp.full(G, -jnp.inf, jnp.float32),
+        jnp.zeros(G, bool),
+        jnp.zeros(G, jnp.int32),
+        jnp.int32(0),
+    )
+    pm, st, fit, frozen, rounds, _ = jax.lax.while_loop(cond, body, init)
+    return pm, st, fit, rounds
+
+
 def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarray,
-           cfg: EMConfig, n_shards: int = 0):
+           cfg: EMConfig, n_shards: int = 0, device_loop: bool = True):
     """Run the full EM loop for a bucket of G training groups.
 
     Implements the reference's per-candidate stopping rules
     (nanocall.cpp:367-426): singularity stop, fit-regression revert,
     round cap (2x for double-strand scaling), min-progress.
 
+    device_loop=True runs the whole loop on device in one dispatch (default,
+    avoids per-round host round-trips); False uses the host-stepped loop
+    (same semantics, used as a cross-check in tests).
+
     Returns (pm_params (G,6), st_params (G,2,2), fit (G,), rounds (G,)).
     """
+    if device_loop:
+        from .parallel.mesh import DataSharder
+
+        sharder = DataSharder(n_shards or None)
+        G0 = pm_params0.shape[0]
+        if sharder.active and G0 % sharder.n == 0:
+            ev = sharder.shard(ev, G0)
+            models = sharder.shard(models, G0)
+        max_rounds = 2 * cfg.max_rounds if cfg.double_strand else cfg.max_rounds
+        out = run_em_device(
+            ev, models,
+            np.asarray(pm_params0, np.float32),
+            np.asarray(st_params0, np.float32),
+            np.float32(cfg.min_progress),
+            K=cfg.K, train_drift=cfg.train_drift,
+            train_scaling=cfg.train_scaling,
+            train_transitions=cfg.train_transitions,
+            max_rounds=max_rounds,
+        )
+        pm, st, fit, rounds = jax.device_get(out)
+        return (np.asarray(pm), np.asarray(st),
+                np.asarray(fit, np.float64), np.asarray(rounds))
     from .parallel.mesh import DataSharder
 
     sharder = DataSharder(n_shards or None)

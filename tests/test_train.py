@@ -229,3 +229,28 @@ def test_em_recovers_transition_params():
     # moved decisively toward the generating kinetics
     assert p_stay > 0.2, p_stay
     assert p_skip < 0.2, p_skip
+
+
+def test_device_em_loop_matches_host_loop():
+    """The on-device while_loop EM must reproduce the host-stepped loop."""
+    rng = np.random.default_rng(17)
+    models = make_models(rng)
+    groups = []
+    for i in range(3):
+        groups.append([
+            (sample_events(models[0], 30, rng, scale=1.1, shift=2.0), 0),
+            (sample_events(models[1], 25, rng, scale=1.1, shift=2.0), 1),
+        ])
+    pm0 = [pore_model.PoreModelParams(scale=1.0, shift=1.0)] * 3
+    st0 = [[[0.1, 0.3], [0.1, 0.3]]] * 3
+    ev, mdl, pm_arr, st_arr = build_train_batch(groups, models, pm0, st0)
+    cfg = train.EMConfig(K=K, train_drift=False, double_strand=True,
+                         max_rounds=4)
+    dev = train.run_em(ev, mdl, pm_arr, st_arr, cfg, device_loop=True)
+    host = train.run_em(ev, mdl, pm_arr, st_arr, cfg, device_loop=False)
+    # loop-body fusion changes float rounding slightly vs the host-stepped
+    # path; semantics (rounds, convergence target) must agree
+    for a, b, name in zip(dev, host, ("pm", "st", "fit", "rounds")):
+        assert np.allclose(np.asarray(a, np.float64), np.asarray(b, np.float64),
+                           rtol=5e-3, atol=2e-2), (name, a, b)
+    assert np.array_equal(dev[3], host[3])  # same per-group round counts
