@@ -51,7 +51,7 @@ def measure_tpu(B: int, T: int, n_iter: int = 8) -> dict:
 
     enable_compilation_cache()
 
-    from nanocall_tpu import kmer, transitions
+    from nanocall_tpu import transitions
     from nanocall_tpu.models import load_builtin_models
     from nanocall_tpu.ops import hmm
 

@@ -10,7 +10,6 @@ from __future__ import annotations
 import argparse
 import logging
 import sys
-import time
 
 import numpy as np
 
@@ -64,7 +63,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", default="")
     p.add_argument("-t", "--threads", type=int, default=1,
                    help="(accepted for CLI parity; device parallelism is used instead)")
-    p.add_argument("--batch", type=int, default=64, help="decode bucket batch size")
+    p.add_argument("--batch", type=int, default=256, help="decode bucket batch size")
     p.add_argument("--trace-dir", default="", help="write a JAX profiler trace here")
     p.add_argument("--resume-stats", default="",
                    help="resume from a --stats TSV of a previous run (skips training)")
