@@ -138,3 +138,24 @@ def test_resume_from_stats(sim_dir, tmp_path):
     ])
     assert rc == 0
     assert out1.read_text() == out2.read_text()
+
+
+def test_custom_transitions_file(sim_dir, tmp_path):
+    """--trans with a custom table routes decode through the sparse kernel
+    and produces output; with the table equal to the default, results match
+    the default run."""
+    from nanocall_tpu import transitions
+
+    d, truths = sim_dir
+    st = transitions.build_structured(
+        transitions.TransitionParams(0.1, 0.3), 6
+    )
+    trans_path = tmp_path / "trans.tsv"
+    transitions.save_tsv(st, trans_path)
+    out1 = tmp_path / "default.fa"
+    out2 = tmp_path / "custom.fa"
+    assert cli_main([str(d), "-o", str(out1), "--no-train", "--1d"]) == 0
+    assert cli_main([
+        str(d), "-o", str(out2), "--no-train", "--1d", "-s", str(trans_path),
+    ]) == 0
+    assert out1.read_text() == out2.read_text()
