@@ -161,10 +161,7 @@ def main():
     args = ap.parse_args()
 
     if args.e2e:
-        res = measure_e2e(
-            args.reads if args.reads != 256 else 64,
-            args.events, train=not args.no_train,
-        )
+        res = measure_e2e(args.reads, args.events, train=not args.no_train)
         cpu = CPU_BASELINE_EVENTS_PER_S
         print(json.dumps({
             "metric": "e2e_pipeline_events_per_s",
