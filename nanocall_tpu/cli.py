@@ -28,6 +28,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--version", action="version", version=__version__)
     p.add_argument("inputs", nargs="+", help="directories, fast5 files, or fofn files ('-' = stdin)")
     p.add_argument("--ed-group", default="", help="EventDetection group to use")
+    p.add_argument("--chunk-size", type=int, default=1,
+                   help="(accepted for CLI parity; device bucketing replaces thread chunking)")
     p.add_argument("--log", action="append", default=[], help="log level")
     p.add_argument("--stats", dest="stats_fn", default="", help="stats TSV output")
     p.add_argument("--train-drift", default="", choices=["", "0", "1"])

@@ -190,11 +190,27 @@ def compute_scaled_pore_model(argv) -> int:
     return 0
 
 
+def list_directory(argv) -> int:
+    """Directory listing helper (list-directory.cpp / fs_support.hpp)."""
+    import os
+
+    p = argparse.ArgumentParser(prog="list-directory")
+    p.add_argument("path")
+    args = p.parse_args(argv)
+    if not os.path.isdir(args.path):
+        print(f"not a directory: {args.path}", file=sys.stderr)
+        return 1
+    for name in sorted(os.listdir(args.path)):
+        print(name)
+    return 0
+
+
 TOOLS = {
     "run-viterbi": run_viterbi,
     "run-fwbw": run_fwbw,
     "compute-state-transitions": compute_state_transitions,
     "compute-scaled-pore-model": compute_scaled_pore_model,
+    "list-directory": list_directory,
 }
 
 
