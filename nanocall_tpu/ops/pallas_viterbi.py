@@ -205,7 +205,7 @@ def _tb_kernel(len_ref, end_ref, bp_ref, path_ref, s_ref, *, B, n, K, T):
     for r in range(CH - 1, -1, -1):
         t = c * CH + r
         s = jnp.where(t == lengths - 1, end_ref[:], s_ref[:])
-        path_ref[r, :] = s[:, 0]
+        path_ref[r] = s
         bp_t = bp_ref[r]
         onehot = iota_n == s
         k = jnp.sum(
@@ -240,16 +240,18 @@ def viterbi_traceback_pallas(gt: GroupedTrans, final_alpha, bp, lengths,
                 memory_space=pltpu.VMEM,
             ),
         ],
+        # (T, B, 1) layout: the (B, 1) trailing block dims equal the array
+        # dims, avoiding in-kernel shape casts (unsupported by Mosaic here)
         out_specs=pl.BlockSpec(
-            (CH, B),
-            lambda ci, n_chunks=n_chunks: (n_chunks - 1 - ci, 0),
+            (CH, B, 1),
+            lambda ci, n_chunks=n_chunks: (n_chunks - 1 - ci, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((T, B), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((T, B, 1), jnp.int32),
         scratch_shapes=[pltpu.VMEM((B, 1), jnp.int32)],
         interpret=interpret,
     )(lengths, end_state, bp)
-    return path_t.T, path_logp
+    return path_t[:, :, 0].T, path_logp
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -258,6 +260,28 @@ def viterbi_decode_pallas(gt: GroupedTrans, model: ModelArrays, ev: dict,
     """Fused Pallas decode: returns {path (B, T) int32, logp (B,)}."""
     T = ev["mean"].shape[1]
     bp, final_alpha = viterbi_forward_pallas(gt, model, ev, interpret=interpret)
+    path, logp = viterbi_traceback_pallas(
+        gt, final_alpha, bp, ev["length"], interpret=interpret
+    )
+    return {"path": path[:, :T], "logp": logp}
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def viterbi_decode_hybrid(gt: GroupedTrans, model: ModelArrays, ev: dict,
+                          interpret: bool = False):
+    """XLA grouped forward + Pallas traceback.
+
+    The forward scan is already near VPU-bound under XLA, but the XLA
+    traceback is latency-bound (tiny sequential steps); the Pallas
+    traceback streams bp chunks through VMEM with the state vector
+    resident.  (The fully-fused Pallas forward is blocked on Mosaic's
+    'unsupported shape cast' for in-kernel reshapes in this toolchain.)
+    """
+    from . import hmm as hmm_mod
+
+    T = ev["mean"].shape[1]
+    ev_p, _ = _pad_T(ev)
+    final_alpha, bp = hmm_mod.viterbi_forward_grouped(gt, model, ev_p)
     path, logp = viterbi_traceback_pallas(
         gt, final_alpha, bp, ev["length"], interpret=interpret
     )

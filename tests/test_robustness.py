@@ -1,0 +1,105 @@
+"""Failure-mode robustness: bad inputs degrade gracefully per read
+(Fast5_Summary failure handling, SURVEY.md section 5)."""
+
+import numpy as np
+import pytest
+
+from nanocall_tpu import fast5_io, read_pipeline, simulate
+from nanocall_tpu.config import Config
+from nanocall_tpu.models import load_builtin_models
+
+
+@pytest.fixture(scope="module")
+def models():
+    return load_builtin_models("r73")
+
+
+def cfg():
+    return Config().apply_pore_preset()
+
+
+def test_corrupt_file_is_skipped(tmp_path, models):
+    p = tmp_path / "bad.fast5"
+    p.write_bytes(b"\x89HDF\r\n\x1a\n" + b"garbage" * 100)
+    s = read_pipeline.summarize(str(p), models, cfg())
+    assert s.num_ed_events == 0  # skipped, no exception
+
+
+def test_missing_sampling_rate(tmp_path, models):
+    import h5py
+
+    p = str(tmp_path / "nosr.fast5")
+    with h5py.File(p, "w") as f:
+        f.create_group("/Analyses")
+    s = read_pipeline.summarize(p, models, cfg())
+    assert s.num_ed_events == 0
+
+
+def test_bad_sampling_rate(tmp_path, models):
+    rng = np.random.default_rng(0)
+    p = str(tmp_path / "badsr.fast5")
+    fast5_io.write_fast5(
+        p, rng.uniform(40, 90, 200), rng.uniform(0.5, 1.5, 200),
+        np.arange(200.0) * 20, np.full(200, 20.0), sampling_rate=99.0,
+    )
+    s = read_pipeline.summarize(p, models, cfg())
+    assert s.num_ed_events == 0  # out of [1000, 10000] (hpp:168)
+
+
+def test_too_few_events(tmp_path, models):
+    rng = np.random.default_rng(0)
+    p = str(tmp_path / "short.fast5")
+    fast5_io.write_fast5(
+        p, rng.uniform(40, 90, 30), rng.uniform(0.5, 1.5, 30),
+        np.arange(30.0) * 20, np.full(30, 20.0),
+    )
+    s = read_pipeline.summarize(p, models, cfg())
+    assert s.num_ed_events == 0  # < trims + min_ed_events
+
+
+def test_max_ed_events_truncation(tmp_path, models):
+    rng = np.random.default_rng(1)
+    p = str(tmp_path / "long.fast5")
+    fast5_io.write_fast5(
+        p, rng.uniform(40, 90, 800), rng.uniform(0.5, 1.5, 800),
+        np.arange(800.0) * 20, np.full(800, 20.0),
+    )
+    c = cfg()
+    c.max_ed_events = 500
+    s = read_pipeline.summarize(p, models, c)
+    assert s.num_ed_events == 500  # truncated (hpp:510-524)
+
+
+def test_abasic_level_too_low(tmp_path, models):
+    # all event means ~0 -> abasic level <= 1 -> skip (hpp:193-200)
+    p = str(tmp_path / "low.fast5")
+    fast5_io.write_fast5(
+        p, np.full(300, 0.5), np.full(300, 0.5),
+        np.arange(300.0) * 20, np.full(300, 20.0),
+    )
+    c = cfg()
+    c.abasic_level_top_offset = 0.0  # r9-style preset; r73's +5 keeps it > 1
+    s = read_pipeline.summarize(p, models, c)
+    assert s.num_ed_events == 0
+
+
+def test_pipeline_mixed_good_and_bad(tmp_path, models):
+    """Bad reads are skipped; good reads still basecall (nanocall.cpp:294)."""
+    from nanocall_tpu import basecall
+
+    rng = np.random.default_rng(5)
+    d = tmp_path / "mix"
+    d.mkdir()
+    simulate.write_sim_fast5(
+        d / "good.fast5", models, "r73.t.006", None, 300, rng,
+        read_id="good", noise_scale=0.5,
+    )
+    (d / "bad.fast5").write_bytes(b"\x89HDF\r\n\x1a\n" + b"junk" * 64)
+    c = cfg()
+    c.train = False
+    files = read_pipeline.init_files([str(d)])
+    assert len(files) == 2
+    summaries = [read_pipeline.summarize(f, models, c) for f in files]
+    results = basecall.basecall_reads(summaries, models, c)
+    assert len(results) == 1
+    assert "good" in results[0].seq_name
