@@ -333,6 +333,14 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                 lm[bi], ls[bi], sm[bi] = pm.level_mean, pm.level_stdv, pm.sd_mean
                 slam[bi] = pm.sd_lambda
                 L = len(t.ev)
+                if L and abs(float(np.mean(t.ev.mean)) - pm.mean()) > 5.0:
+                    # scaling sanity warning (nanocall.cpp:673-683)
+                    log.warning(
+                        "means_apart read [%s] strand [%d] model [%s] "
+                        "model_mean=[%g] events_mean=[%g]",
+                        s.read_id, t.strand, t.model_name, pm.mean(),
+                        float(np.mean(t.ev.mean)),
+                    )
                 mean[bi, :L] = t.ev.corrected_mean(params.drift)
                 stdv[bi, :L] = t.ev.stdv
                 length[bi] = L
