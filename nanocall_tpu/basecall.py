@@ -303,12 +303,48 @@ def build_decode_tasks(summaries, models, cfg) -> tuple[list, dict]:
     return tasks, read_events
 
 
+class DeviceEventCache:
+    """Per-(read, strand, bucket-T) device-resident event arrays.
+
+    Each strand's events upload once and are reused across candidate models
+    and the score/path decode passes (drift correction is applied on device
+    per task); host->device bandwidth is the scarce resource on the tunneled
+    chip and still a real cost on production hosts with many candidates."""
+
+    def __init__(self):
+        self._store = {}
+
+    def rows(self, t, T):
+        import jax.numpy as jnp
+
+        key = (t.read_idx, t.strand, T)
+        if key not in self._store:
+            L = len(t.ev)
+            mean = np.ones(T, np.float32)
+            stdv = np.ones(T, np.float32)
+            start = np.zeros(T, np.float32)
+            mean[:L] = t.ev.mean
+            stdv[:L] = t.ev.stdv
+            start[:L] = t.ev.start
+            self._store[key] = {
+                "mean": jnp.asarray(mean),
+                "stdv": jnp.asarray(stdv),
+                "log_stdv": jnp.asarray(np.log(stdv)),
+                "start": jnp.asarray(start),
+            }
+        return self._store[key]
+
+
 def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                  sparse_ops, is_sparse_task, with_path: bool,
-                 progress=None) -> None:
+                 progress=None, ev_cache=None) -> None:
     """Decode one set of tasks in length buckets, filling task.logp (and
     task.path when with_path)."""
+    import jax.numpy as jnp
+
     n = kmer.n_states(cfg.kmer_size)
+    if ev_cache is None:
+        ev_cache = DeviceEventCache()
     lengths = [len(t.ev) for t in tasks]
     buckets = batching.make_buckets(
         lengths, cfg.bucket_max_batch, BP_MEM_BUDGET, n,
@@ -318,14 +354,14 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
         for chunk in chunks:
             sub = [tasks[i] for i in chunk]
             Bc = B
-            mean = np.ones((Bc, T), np.float32)
-            stdv = np.ones((Bc, T), np.float32)
             length = np.zeros(Bc, np.int32)
+            drifts = np.zeros(Bc, np.float32)
             lm = np.ones((Bc, n), np.float32)
             ls = np.ones((Bc, n), np.float32)
             sm = np.ones((Bc, n), np.float32)
             slam = np.ones((Bc, n), np.float32)
             stp = np.full((Bc, 2), [0.1, 0.3], np.float64)
+            rows = []
             for bi, t in enumerate(sub):
                 s = summaries[t.read_idx]
                 params = s.pm_params[t.key]
@@ -341,14 +377,27 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                         s.read_id, t.strand, t.model_name, pm.mean(),
                         float(np.mean(t.ev.mean)),
                     )
-                mean[bi, :L] = t.ev.corrected_mean(params.drift)
-                stdv[bi, :L] = t.ev.stdv
+                rows.append(ev_cache.rows(t, T))
+                drifts[bi] = params.drift
                 length[bi] = L
                 sp = s.st_params[t.key][t.strand]
                 stp[bi] = [sp.p_stay, sp.p_skip]
+            pad_row = {
+                k: jnp.ones(T, jnp.float32) if k in ("mean", "stdv")
+                else jnp.zeros(T, jnp.float32)
+                for k in ("mean", "stdv", "log_stdv", "start")
+            }
+            rows += [pad_row] * (Bc - len(sub))
+            stacked = {
+                k: jnp.stack([r[k] for r in rows]) for k in
+                ("mean", "stdv", "log_stdv", "start")
+            }
             model = hmm.make_model_arrays(lm, ls, sm, slam)
             ev_batch = {
-                "mean": mean, "stdv": stdv, "log_stdv": np.log(stdv),
+                # drift correction on device (Event.hpp:77-84)
+                "mean": stacked["mean"] - jnp.asarray(drifts)[:, None] * stacked["start"],
+                "stdv": stacked["stdv"],
+                "log_stdv": stacked["log_stdv"],
                 "length": length,
             }
             if sparse_ops is not None and all(is_sparse_task(t) for t in sub):
@@ -450,13 +499,16 @@ def run_decode_tasks(tasks, summaries, models, cfg: Config,
               else t.strand)
         return len(group_keys[gk])
 
+    ev_cache = DeviceEventCache()
     contested = [t for t in tasks if multiplicity(t) > 1]
     if contested:
         _decode_pass(contested, summaries, models, cfg, sharder, sparse_ops,
-                     is_sparse_task, with_path=False, progress=progress)
+                     is_sparse_task, with_path=False, progress=progress,
+                     ev_cache=ev_cache)
     winners = pick_winners(tasks, summaries)
     _decode_pass(winners, summaries, models, cfg, sharder, sparse_ops,
-                 is_sparse_task, with_path=True, progress=progress)
+                 is_sparse_task, with_path=True, progress=progress,
+                 ev_cache=ev_cache)
     progress.finish()
     return winners
 
