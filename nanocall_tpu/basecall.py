@@ -134,10 +134,11 @@ def pack_train_batch(groups, summaries, models, cfg, pad_T=None, pad_G=None):
         "strand": np.zeros((G, S), np.int32),
         "valid": np.zeros((G, S), bool),
     }
-    mdl = {
-        k: np.ones((G, 2, n), np.float32)
-        for k in ("level_mean", "level_stdv", "sd_mean", "sd_lambda")
-    }
+    # model BANK: one (M, 2, n) entry per distinct model-name pair, with a
+    # per-group index gathered on device (train_one_round) — uploads each
+    # model once per bucket instead of once per group
+    pair_ids: dict = {}
+    model_idx = np.zeros(G, np.int32)
     pm0 = np.zeros((G, 6), np.float32)
     pm0[:, [0, 3, 4, 5]] = 1.0  # identity params for padded groups
     st0 = np.full((G, 2, 2), [cfg.pr_stay, cfg.pr_skip], np.float32)
@@ -152,14 +153,23 @@ def pack_train_batch(groups, summaries, models, cfg, pad_T=None, pad_G=None):
             ev["length"][g, si] = L
             ev["strand"][g, si] = st
             ev["valid"][g, si] = True
-        for st in (0, 1):
-            m = models[grp.model_names[st]]
-            mdl["level_mean"][g, st] = m.level_mean
-            mdl["level_stdv"][g, st] = m.level_stdv
-            mdl["sd_mean"][g, st] = m.sd_mean
-            mdl["sd_lambda"][g, st] = m.sd_lambda
+        model_idx[g] = pair_ids.setdefault(grp.model_names, len(pair_ids))
         pm0[g] = s_sum.pm_params[grp.key].as_array()
         st0[g] = [p.as_array() for p in s_sum.st_params[grp.key]]
+    # pad the bank to a fixed arity (shape stability across buckets)
+    M = max(4, len(pair_ids))
+    mdl = {
+        k: np.ones((M, 2, n), np.float32)
+        for k in ("level_mean", "level_stdv", "sd_mean", "sd_lambda")
+    }
+    for names, mi in pair_ids.items():
+        for st in (0, 1):
+            m = models[names[st]]
+            mdl["level_mean"][mi, st] = m.level_mean
+            mdl["level_stdv"][mi, st] = m.level_stdv
+            mdl["sd_mean"][mi, st] = m.sd_mean
+            mdl["sd_lambda"][mi, st] = m.sd_lambda
+    mdl["model_idx"] = model_idx
     return ev, mdl, pm0, st0
 
 

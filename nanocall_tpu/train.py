@@ -158,8 +158,18 @@ def train_one_round(
       fit (G,): sum of log_pr_data under the CURRENT params,
       new_pm_params (G, 6), done (G,) singularity flags,
       new_st_params (G, 2, 2).
+
+    `models` may alternatively carry a model BANK: arrays shaped (M, 2, n)
+    plus a (G,) int32 'model_idx' — the per-group tables are gathered on
+    device (uploading each distinct model once instead of per group).
     """
     G, S, T = ev["mean"].shape
+    if "model_idx" in models:
+        idx = models["model_idx"]
+        models = {
+            k: models[k][idx]
+            for k in ("level_mean", "level_stdv", "sd_mean", "sd_lambda")
+        }
     n = models["level_mean"].shape[-1]
 
     # --- scale models with current params (fill_train_data, hpp:101-114)
