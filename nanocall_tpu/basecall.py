@@ -366,32 +366,49 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
             Bc = B
             length = np.zeros(Bc, np.int32)
             drifts = np.zeros(Bc, np.float32)
-            lm = np.ones((Bc, n), np.float32)
-            ls = np.ones((Bc, n), np.float32)
-            sm = np.ones((Bc, n), np.float32)
-            slam = np.ones((Bc, n), np.float32)
+            pm_params = np.zeros((Bc, 6), np.float32)
+            pm_params[:, [0, 3, 4, 5]] = 1.0
+            model_idx = np.zeros(Bc, np.int32)
+            name_ids: dict = {}
             stp = np.full((Bc, 2), [0.1, 0.3], np.float64)
             rows = []
             for bi, t in enumerate(sub):
                 s = summaries[t.read_idx]
                 params = s.pm_params[t.key]
-                pm = models[t.model_name].scaled(params)
-                lm[bi], ls[bi], sm[bi] = pm.level_mean, pm.level_stdv, pm.sd_mean
-                slam[bi] = pm.sd_lambda
+                pm = models[t.model_name]
                 L = len(t.ev)
-                if L and abs(float(np.mean(t.ev.mean)) - pm.mean()) > 5.0:
+                if L and abs(
+                    float(np.mean(t.ev.mean))
+                    - (pm.mean() * params.scale + params.shift)
+                ) > 5.0:
                     # scaling sanity warning (nanocall.cpp:673-683)
                     log.warning(
                         "means_apart read [%s] strand [%d] model [%s] "
                         "model_mean=[%g] events_mean=[%g]",
-                        s.read_id, t.strand, t.model_name, pm.mean(),
+                        s.read_id, t.strand, t.model_name,
+                        pm.mean() * params.scale + params.shift,
                         float(np.mean(t.ev.mean)),
                     )
                 rows.append(ev_cache.rows(t, T))
+                model_idx[bi] = name_ids.setdefault(t.model_name, len(name_ids))
+                pm_params[bi] = params.as_array()
                 drifts[bi] = params.drift
                 length[bi] = L
                 sp = s.st_params[t.key][t.strand]
                 stp[bi] = [sp.p_stay, sp.p_skip]
+            # model bank: each distinct model uploads once; scaling happens
+            # on device (hmm.make_scaled_model_arrays)
+            M = max(4, len(name_ids))
+            bank = {
+                k: np.ones((M, n), np.float32)
+                for k in ("level_mean", "level_stdv", "sd_mean", "sd_lambda")
+            }
+            for name, mi in name_ids.items():
+                pm = models[name]
+                bank["level_mean"][mi] = pm.level_mean
+                bank["level_stdv"][mi] = pm.level_stdv
+                bank["sd_mean"][mi] = pm.sd_mean
+                bank["sd_lambda"][mi] = pm.sd_lambda
             pad_row = {
                 k: jnp.ones(T, jnp.float32) if k in ("mean", "stdv")
                 else jnp.zeros(T, jnp.float32)
@@ -402,7 +419,7 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                 k: jnp.stack([r[k] for r in rows]) for k in
                 ("mean", "stdv", "log_stdv", "start")
             }
-            model = hmm.make_model_arrays(lm, ls, sm, slam)
+            model = hmm.make_scaled_model_arrays(bank, model_idx, pm_params)
             ev_batch = {
                 # drift correction on device (Event.hpp:77-84)
                 "mean": stacked["mean"] - jnp.asarray(drifts)[:, None] * stacked["start"],

@@ -198,6 +198,27 @@ def make_model_arrays(level_mean, level_stdv, sd_mean, sd_lambda) -> ModelArrays
     )
 
 
+@jax.jit
+def make_scaled_model_arrays(bank, model_idx, params) -> ModelArrays:
+    """Per-task scaled model tables computed on device.
+
+    bank: dict of (M, n) float32 unscaled tables {level_mean, level_stdv,
+    sd_mean, sd_lambda}; model_idx: (B,) int32; params: (B, 6) scaling rows.
+    Uploads one copy of each distinct model instead of B scaled copies.
+    """
+    from ..pore_model import scale_arrays
+
+    lm = bank["level_mean"][model_idx]
+    ls = bank["level_stdv"][model_idx]
+    sm = bank["sd_mean"][model_idx]
+    slam = bank["sd_lambda"][model_idx]
+    lm, ls, sm, slam = scale_arrays(lm, ls, sm, slam, params)
+    return ModelArrays(
+        level_mean=lm, level_stdv=ls, log_level_stdv=jnp.log(ls),
+        sd_mean=sm, sd_lambda=slam, log_sd_lambda=jnp.log(slam),
+    )
+
+
 def log_emission(m: ModelArrays, ev_mean, ev_stdv, ev_log_stdv) -> jax.Array:
     """log Pr[event | state] over all states (Pore_Model.hpp:24-40,140-149).
 
