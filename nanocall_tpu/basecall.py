@@ -434,12 +434,11 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                 )
             else:
                 # grouped (3-way) tables: exact fast path for the standard
-                # stay/step/skip structure, batched per task's trained params
-                stay, step_, skip = transitions.grouped_tables(
-                    stp[:, 0], stp[:, 1], cfg.kmer_size
-                )
-                gt = hmm.GroupedTrans(
-                    stay_lp=stay, step_lp=step_, skip_lp=skip, K=cfg.kmer_size
+                # stay/step/skip structure, built ON DEVICE from each task's
+                # trained (p_stay, p_skip)
+                gt = hmm.make_grouped_trans_device(
+                    stp[:, 0].astype(np.float32), stp[:, 1].astype(np.float32),
+                    K=cfg.kmer_size,
                 )
                 gt, model, ev_batch = sharder.shard((gt, model, ev_batch), Bc)
                 out = hmm.viterbi_decode_grouped(

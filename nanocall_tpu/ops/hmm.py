@@ -198,6 +198,16 @@ def make_model_arrays(level_mean, level_stdv, sd_mean, sd_lambda) -> ModelArrays
     )
 
 
+@functools.partial(jax.jit, static_argnames=("K",))
+def make_grouped_trans_device(p_stay, p_skip, K: int = 6) -> GroupedTrans:
+    """Grouped tables built on device from per-task (B,) params — avoids
+    uploading 3 x (B, n) tables per decode chunk."""
+    from .. import transitions as tm
+
+    stay, step, skip = tm.grouped_tables(p_stay, p_skip, K, xp=jnp)
+    return GroupedTrans(stay_lp=stay, step_lp=step, skip_lp=skip, K=K)
+
+
 @jax.jit
 def make_scaled_model_arrays(bank, model_idx, params) -> ModelArrays:
     """Per-task scaled model tables computed on device.
