@@ -183,10 +183,15 @@ def train_one_round(
         pm_params[:, None, :],
     )
 
-    # --- per-strand transition tables from current st params (hpp:117-133)
-    from_tbl, to_tbl = transitions.device_structured_tables(
-        st_params[..., 0], st_params[..., 1], K
-    )  # (G, 2, 21, n)
+    # --- per-strand grouped transition tables from current st params
+    # (hpp:117-133); grouped decomposition with closed-form corrections
+    # replaces the (G, 2, 21, n) slot tables (see hmm.fwbw_grouped)
+    stay_t, step_t, skip_t = transitions.grouped_tables(
+        st_params[..., 0], st_params[..., 1], K, xp=jnp
+    )  # (G, 2, n) each
+    step_to_t, skip_to_t = transitions.grouped_tables_to(
+        st_params[..., 0], st_params[..., 1], K, xp=jnp
+    )
 
     # --- gather per-sequence model/tables by strand tag
     strand = ev["strand"]  # (G, S)
@@ -196,8 +201,6 @@ def train_one_round(
         return jnp.take_along_axis(a, st_idx, axis=1)
 
     lm_seq, ls_seq, sm_seq, slam_seq = sel(lm_s), sel(ls_s), sel(sm_s), sel(slam_s)
-    ft_seq = jnp.take_along_axis(from_tbl, st_idx[..., None], axis=1)  # (G,S,21,n)
-    tt_seq = jnp.take_along_axis(to_tbl, st_idx[..., None], axis=1)
 
     # --- drift-corrected events (hpp:147-149); flatten groups x seqs
     drift = pm_params[:, 2][:, None, None]
@@ -213,14 +216,17 @@ def train_one_round(
         lm_seq.reshape(B, n), ls_seq.reshape(B, n), sm_seq.reshape(B, n),
         slam_seq.reshape(B, n),
     )
-    ops = hmm.make_trans_ops_batch(
-        ft_seq.reshape(B, transitions.N_SLOTS, n),
-        tt_seq.reshape(B, transitions.N_SLOTS, n),
-        K,
+    gtf = hmm.GroupedTransFull(
+        stay_lp=sel(stay_t).reshape(B, n),
+        step_lp=sel(step_t).reshape(B, n),
+        skip_lp=sel(skip_t).reshape(B, n),
+        step_to_lp=sel(step_to_t).reshape(B, n),
+        skip_to_lp=sel(skip_to_t).reshape(B, n),
+        K=K,
     )
 
     # --- E-step
-    fb = hmm.fwbw(ops, model_flat, ev_flat, keep_emissions=True)
+    fb = hmm.fwbw_grouped(gtf, model_flat, ev_flat, keep_emissions=True)
     alpha, beta, em = fb["alpha"], fb["beta"], fb["em"]  # (B, T, n)
     lpd = fb["log_pr_data"]  # (B,)
 

@@ -371,6 +371,87 @@ def grouped_tables(p_stay, p_skip, K: int, xp=np):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def grouped_condition_masks_to(K: int):
+    """To-side overlap indicators: conditions on the SOURCE i for the
+    generic probability of i -> (any step successor) / (any skip-1
+    successor).  For step successors j = (suffix(i,K-1)<<2)|b, the overlap
+    prefix(j, K-l) = suffix(i, K-1) >> 2(l-1) is b-independent; for skip
+    successors the l=2 condition always holds and l>=3 conditions are
+    c-independent."""
+    n = kmer.n_states(K)
+    i = np.arange(n, dtype=np.int64)
+    out = {}
+    for l in range(2, K):
+        lhs = i & ((1 << (2 * (K - l))) - 1)
+        rhs = (i & ((1 << (2 * (K - 1))) - 1)) >> (2 * (l - 1))
+        out[f"step_l{l}"] = (lhs == rhs).astype(np.float32)
+    for l in range(3, K):
+        lhs = i & ((1 << (2 * (K - l))) - 1)
+        rhs = (i & ((1 << (2 * (K - 2))) - 1)) >> (2 * (l - 2))
+        out[f"skip_l{l}"] = (lhs == rhs).astype(np.float32)
+    return out
+
+
+def grouped_tables_to(p_stay, p_skip, K: int, xp=np):
+    """To-side generic tables (step_to_lp, skip_to_lp), each (..., n):
+    log p(i -> any generic step / skip-1 successor of i).  The stay table
+    is shared with the from-side (p(j -> j))."""
+    m = grouped_condition_masks_to(K)
+    n = kmer.n_states(K)
+    acc_dtype = np.float64 if xp is np else xp.float32
+    p_stay = xp.asarray(p_stay, dtype=acc_dtype)[..., None]
+    p_skip = xp.asarray(p_skip, dtype=acc_dtype)[..., None]
+    p_step = 1.0 - p_stay - p_skip
+    p_skip_1 = p_skip / (p_skip + 1.0)
+    bg = (p_skip_1 ** (K - 1) / (1.0 - p_skip_1)) / n
+
+    def term(l):
+        return p_skip_1 ** (l - 1) / (1 << (2 * l))
+
+    step = p_step / 4.0 + bg
+    for l in range(2, K):
+        step = step + m[f"step_l{l}"] * term(l)
+    skip = term(2) + bg
+    for l in range(3, K):
+        skip = skip + m[f"skip_l{l}"] * term(l)
+    return (
+        xp.log((step + xp.zeros(n, acc_dtype)).astype(xp.float32)).astype(xp.float32),
+        xp.log((skip + xp.zeros(n, acc_dtype)).astype(xp.float32)).astype(xp.float32),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def grouped_correction_masks(K: int):
+    """Static exceptional-state masks for the grouped log-sum-exp
+    decomposition (docs/grouped_viterbi.md 'Why this does NOT extend...'
+    — except it does, with these closed-form corrections):
+
+      H:      homopolymers (all bases equal; 4 states) — the step group
+              contains a duplicate of the stay entry.
+      P2mH:   period-2 states minus H (skip group contains the stay dup).
+      S5:     five equal LEADING bases (from-side: 4 skip-group entries are
+              really step members; their sum equals the step group sum).
+      S5T:    five equal TRAILING bases (to-side mirror of S5).
+
+    Returns dict of (n,) float32 {H, P2mH, S5, S5T}.
+    """
+    n = kmer.n_states(K)
+    j = np.arange(n, dtype=np.int64)
+    period1 = kmer.suffix(j, K - 1, K) == kmer.prefix(j, K - 1, K)
+    period2 = kmer.suffix(j, K - 2, K) == kmer.prefix(j, K - 2, K)
+    s5 = ((j >> 2) & ((1 << (2 * (K - 2))) - 1)) == (j >> 4)
+    s5t = (j & ((1 << (2 * (K - 2))) - 1)) == (
+        (j & ((1 << (2 * (K - 1))) - 1)) >> 2
+    )
+    return {
+        "H": period1.astype(np.float32),
+        "P2mH": (period2 & ~period1).astype(np.float32),
+        "S5": s5.astype(np.float32),
+        "S5T": s5t.astype(np.float32),
+    }
+
+
 @dataclasses.dataclass(frozen=True)
 class SparseTransitions:
     """General sparse table (gather path) for arbitrary loaded transitions.

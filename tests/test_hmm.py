@@ -245,3 +245,27 @@ def test_pallas_interpret_matches_grouped(setup_k3):
             np.asarray(ref["path"])[b, :T], np.asarray(out["path"])[b, :T]
         )
     assert np.allclose(np.asarray(ref["logp"]), np.asarray(out["logp"]), rtol=1e-6)
+
+
+def test_fwbw_grouped_matches_slots(setup_k3):
+    """Grouped log-sum-exp fwbw (closed-form corrections) == 21-slot fwbw."""
+    K, st, pm, seqs = setup_k3
+    ops = hmm.make_trans_ops(st)
+    gtf = hmm.make_grouped_full_device(np.float32(0.1), np.float32(0.3), K=K)
+    model = hmm.make_model_arrays(*pm)
+    batch = events.pad_batch(seqs)
+    ref = hmm.fwbw_jit(ops, model, batch)
+    out = hmm.fwbw_grouped(gtf, model, batch)
+    for b, ev in enumerate(seqs):
+        T = len(ev)
+        assert np.allclose(
+            np.asarray(ref["alpha"])[b, :T], np.asarray(out["alpha"])[b, :T],
+            atol=2e-3,
+        )
+        assert np.allclose(
+            np.asarray(ref["beta"])[b, :T], np.asarray(out["beta"])[b, :T],
+            atol=2e-3,
+        )
+    assert np.allclose(
+        np.asarray(ref["log_pr_data"]), np.asarray(out["log_pr_data"]), atol=2e-3
+    )
