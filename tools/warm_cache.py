@@ -1,8 +1,11 @@
 #!/usr/bin/env python
-"""Pre-compile the standard kernel shapes into the persistent XLA cache.
+"""Warm the device compile caches by EXECUTING the standard kernel shapes.
 
-The remote-TPU compile path costs minutes per shape; this warms the cache
-for the shapes the pipeline/bench use so production runs start fast.
+The TPU backend here defers compilation to first execution (minutes per
+program shape through its remote-compile service; AOT .lower().compile()
+returns fast but does NOT warm the real path).  This runs each standard
+pipeline program once on tiny data so subsequent runs start fast.
+
 Run once per machine: python tools/warm_cache.py [--quick]
 """
 
@@ -20,9 +23,7 @@ def main():
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
 
-    import jax  # noqa: E402
-
-    from nanocall_tpu import train, transitions  # noqa: E402
+    from nanocall_tpu import train  # noqa: E402
     from nanocall_tpu.models import load_builtin_models  # noqa: E402
     from nanocall_tpu.observe import enable_compilation_cache  # noqa: E402
     from nanocall_tpu.ops import hmm  # noqa: E402
@@ -30,67 +31,66 @@ def main():
     enable_compilation_cache()
     models = load_builtin_models("r73")
     m = models["r73.t.006"]
-    gt = hmm.make_grouped_trans(transitions.TransitionParams(), 6)
     rng = np.random.default_rng(0)
 
-    def decode_args(B, T):
-        model = hmm.make_model_arrays(
-            np.tile(m.level_mean, (B, 1)), np.tile(m.level_stdv, (B, 1)),
-            np.tile(m.sd_mean, (B, 1)), np.tile(m.sd_lambda, (B, 1)))
+    def run_decode(B, T, with_path):
+        t0 = time.time()
+        gt = hmm.make_grouped_trans_device(
+            np.full(B, 0.1, np.float32), np.full(B, 0.3, np.float32), K=6
+        )
+        bank = {
+            "level_mean": np.tile(m.level_mean, (4, 1)),
+            "level_stdv": np.tile(m.level_stdv, (4, 1)),
+            "sd_mean": np.tile(m.sd_mean, (4, 1)),
+            "sd_lambda": np.tile(m.sd_lambda, (4, 1)),
+        }
+        params = np.tile(np.array([1, 0, 0, 1, 1, 1], np.float32), (B, 1))
+        model = hmm.make_scaled_model_arrays(bank, np.zeros(B, np.int32), params)
         stdv = rng.uniform(0.5, 1.5, (B, T)).astype(np.float32)
         ev = {"mean": rng.uniform(40, 90, (B, T)).astype(np.float32),
               "stdv": stdv, "log_stdv": np.log(stdv),
               "length": np.full(B, T, np.int32)}
-        return model, ev
-
-    # batched grouped tables variant (pipeline path: per-task tables)
-    def decode_args_batched_tables(B, T):
-        model, ev = decode_args(B, T)
-        stay, step, skip = transitions.grouped_tables(
-            np.full(B, 0.1), np.full(B, 0.3), 6
-        )
-        gtb = hmm.GroupedTrans(stay_lp=stay, step_lp=step, skip_lp=skip, K=6)
-        return gtb, model, ev
-
-    shapes = [(256, 4096, True), (256, 4096, False)]
-    if not args.quick:
-        for T in (2048, 4096, 6144, 8192):
-            for B in (8, 64):
-                shapes += [(B, T, True), (B, T, False)]
-
-    for B, T, with_path in shapes:
-        t0 = time.time()
-        gtb, model, ev = decode_args_batched_tables(B, T)
-        jax.jit(
-            hmm.viterbi_decode_grouped.__wrapped__, static_argnames=("with_path",)
-        ).lower(gtb, model, ev, with_path=with_path).compile()
+        out = hmm.viterbi_decode_grouped(gt, model, ev, with_path=with_path)
+        np.asarray(out["logp"])
         print(f"decode B={B} T={T} path={with_path}: {time.time()-t0:.0f}s",
               flush=True)
 
-    # training shape (G=64, S=4, T=128), both drift modes
-    G, S, T = 64, 4, 128
-    stdv = rng.uniform(0.5, 1.5, (G, S, T)).astype(np.float32)
-    ev = {"mean": rng.uniform(40, 90, (G, S, T)).astype(np.float32),
-          "stdv": stdv, "log_stdv": np.log(stdv),
-          "start": np.cumsum(np.full((G, S, T), .02, np.float32), -1),
-          "length": np.full((G, S), T, np.int32),
-          "strand": np.tile(np.array([0, 0, 1, 1], np.int32), (G, 1)),
-          "valid": np.ones((G, S), bool)}
-    mdl = {"level_mean": np.tile(m.level_mean, (G, 2, 1)),
-           "level_stdv": np.tile(m.level_stdv, (G, 2, 1)),
-           "sd_mean": np.tile(m.sd_mean, (G, 2, 1)),
-           "sd_lambda": np.tile(m.sd_lambda, (G, 2, 1))}
-    pm0 = np.tile(np.array([1, 0, 0, 1, 1, 1], np.float32), (G, 1))
-    st0 = np.tile(np.array([.1, .3], np.float32), (G, 2, 1))
-    for drift in (True, False):
+    def run_train(drift):
         t0 = time.time()
-        jax.jit(
-            train.train_one_round.__wrapped__,
-            static_argnames=("K", "train_drift", "train_scaling",
-                             "train_transitions"),
-        ).lower(ev, mdl, pm0, st0, K=6, train_drift=drift).compile()
-        print(f"train G={G} S={S} T={T} drift={drift}: {time.time()-t0:.0f}s",
-              flush=True)
+        G, S, T = 64, 4, 128
+        stdv = rng.uniform(0.5, 1.5, (G, S, T)).astype(np.float32)
+        ev = {"mean": rng.uniform(40, 90, (G, S, T)).astype(np.float32),
+              "stdv": stdv, "log_stdv": np.log(stdv),
+              "start": np.cumsum(np.full((G, S, T), .02, np.float32), -1),
+              "length": np.full((G, S), T, np.int32),
+              "strand": np.tile(np.array([0, 0, 1, 1], np.int32), (G, 1)),
+              "valid": np.ones((G, S), bool)}
+        mdl = {
+            "level_mean": np.tile(m.level_mean, (4, 2, 1)),
+            "level_stdv": np.tile(m.level_stdv, (4, 2, 1)),
+            "sd_mean": np.tile(m.sd_mean, (4, 2, 1)),
+            "sd_lambda": np.tile(m.sd_lambda, (4, 2, 1)),
+            "model_idx": np.zeros(G, np.int32),
+        }
+        pm0 = np.tile(np.array([1, 0, 0, 1, 1, 1], np.float32), (G, 1))
+        st0 = np.tile(np.array([.1, .3], np.float32), (G, 2, 1))
+        # match production static args: max_rounds=20 (double-strand)
+        # and 10 (single-strand) are distinct compiled programs
+        for ds in (True, False):
+            cfg = train.EMConfig(max_rounds=10, double_strand=ds,
+                                 train_drift=drift)
+            train.run_em(ev, mdl, pm0, st0, cfg)
+        print(f"train drift={drift}: {time.time()-t0:.0f}s", flush=True)
+
+    shapes = [(256, 4096, True), (256, 4096, False)]
+    if not args.quick:
+        for T in (2048, 4096, 6144, 8192, 10240):
+            for B in (8, 64):
+                shapes += [(B, T, True), (B, T, False)]
+    for B, T, wp in shapes:
+        run_decode(B, T, wp)
+    run_train(True)
+    run_train(False)
     print("cache warm done")
 
 
