@@ -121,7 +121,7 @@ def measure_e2e(n_reads: int, n_events: int, train: bool) -> dict:
 
         def run_once():
             t0 = time.time()
-            summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
+            summaries = read_pipeline.summarize_many(files, models, cfg, workers=4)
             t_sum = time.time() - t0
             if train:
                 basecall.train_reads(summaries, models, cfg)

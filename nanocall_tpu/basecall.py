@@ -16,8 +16,10 @@ nanocall.cpp:859-861).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 
+import jax
 import numpy as np
 
 from . import batching, events as events_mod, kmer, read_pipeline, train, transitions
@@ -345,6 +347,32 @@ class DeviceEventCache:
         return self._store[key]
 
 
+@functools.partial(jax.jit, static_argnames=("K", "with_path"))
+def _decode_chunk_grouped(rows, drifts, bank, model_idx, pm_params, stp,
+                          lengths, K=6, with_path=True):
+    """One fused device dispatch per decode chunk: stack cached per-task
+    event rows, apply drift correction, build grouped tables and scaled
+    model arrays on device, and run the Viterbi decode.  (Eager per-chunk
+    stacking cost ~4 relay round-trips per chunk; fused it is one.)"""
+    import jax.numpy as jnp
+
+    stacked = {
+        k: jnp.stack([r[k] for r in rows])
+        for k in ("mean", "stdv", "log_stdv", "start")
+    }
+    gt = hmm.make_grouped_trans_device.__wrapped__(stp[:, 0], stp[:, 1], K)
+    model = hmm.make_scaled_model_arrays.__wrapped__(bank, model_idx, pm_params)
+    ev_batch = {
+        "mean": stacked["mean"] - drifts[:, None] * stacked["start"],
+        "stdv": stacked["stdv"],
+        "log_stdv": stacked["log_stdv"],
+        "length": lengths,
+    }
+    return hmm.viterbi_decode_grouped.__wrapped__(
+        gt, model, ev_batch, with_path=with_path
+    )
+
+
 def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                  sparse_ops, is_sparse_task, with_path: bool,
                  progress=None, ev_cache=None) -> None:
@@ -415,34 +443,34 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                 for k in ("mean", "stdv", "log_stdv", "start")
             }
             rows += [pad_row] * (Bc - len(sub))
-            stacked = {
-                k: jnp.stack([r[k] for r in rows]) for k in
-                ("mean", "stdv", "log_stdv", "start")
-            }
-            model = hmm.make_scaled_model_arrays(bank, model_idx, pm_params)
-            ev_batch = {
-                # drift correction on device (Event.hpp:77-84)
-                "mean": stacked["mean"] - jnp.asarray(drifts)[:, None] * stacked["start"],
-                "stdv": stacked["stdv"],
-                "log_stdv": stacked["log_stdv"],
-                "length": length,
-            }
             if sparse_ops is not None and all(is_sparse_task(t) for t in sub):
+                stacked = {
+                    k: jnp.stack([r[k] for r in rows]) for k in
+                    ("mean", "stdv", "log_stdv", "start")
+                }
+                model = hmm.make_scaled_model_arrays(bank, model_idx, pm_params)
+                ev_batch = {
+                    # drift correction on device (Event.hpp:77-84)
+                    "mean": stacked["mean"]
+                    - jnp.asarray(drifts)[:, None] * stacked["start"],
+                    "stdv": stacked["stdv"],
+                    "log_stdv": stacked["log_stdv"],
+                    "length": length,
+                }
                 model, ev_batch = sharder.shard((model, ev_batch), Bc)
                 out = hmm.viterbi_decode(
                     sparse_ops, model, ev_batch, with_path=with_path
                 )
             else:
-                # grouped (3-way) tables: exact fast path for the standard
-                # stay/step/skip structure, built ON DEVICE from each task's
-                # trained (p_stay, p_skip)
-                gt = hmm.make_grouped_trans_device(
-                    stp[:, 0].astype(np.float32), stp[:, 1].astype(np.float32),
-                    K=cfg.kmer_size,
-                )
-                gt, model, ev_batch = sharder.shard((gt, model, ev_batch), Bc)
-                out = hmm.viterbi_decode_grouped(
-                    gt, model, ev_batch, with_path=with_path
+                # grouped fast path, fully fused: stacking + device-side
+                # drift correction + table/model construction + decode in
+                # ONE dispatch per chunk
+                out = _decode_chunk_grouped(
+                    tuple(rows), jnp.asarray(drifts),
+                    {k: jnp.asarray(v) for k, v in bank.items()},
+                    model_idx, pm_params,
+                    stp.astype(np.float32), length,
+                    K=cfg.kmer_size, with_path=with_path,
                 )
             logps = np.asarray(out["logp"])
             paths = np.asarray(out["path"]) if with_path else None
