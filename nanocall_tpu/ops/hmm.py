@@ -398,11 +398,10 @@ def viterbi_traceback_grouped(gt: GroupedTrans, final_alpha, bp, lengths):
         s_new = jnp.where((t <= lengths - 1) & (t > 0), s_prev, s_eff)
         return s_new, s_eff.astype(jnp.uint16)
 
-    xs = (bp[1:][::-1], jnp.arange(T - 1, 0, -1))
-    s_last, path_rev = jax.lax.scan(step, end_state, xs)
-    path = jnp.concatenate(
-        [s_last[None, :].astype(jnp.uint16), path_rev[::-1]], axis=0
-    )
+    # reverse=True: no reversed copy of the multi-GB bp tensor; forward-
+    # order ys are the path directly
+    xs = (bp, jnp.arange(T))
+    _, path = jax.lax.scan(step, end_state, xs, reverse=True)
     return jnp.moveaxis(path, 0, 1), path_logp
 
 
@@ -492,11 +491,12 @@ def viterbi_traceback(ops: TransOps, final_alpha, bp, lengths):
         s_new = jnp.where((t <= lengths - 1) & (t > 0), s_prev, s_eff)
         return s_new, s_eff.astype(jnp.uint16)
 
-    xs = (bp[1:][::-1], jnp.arange(T - 1, 0, -1))
-    s_last, path_rev = jax.lax.scan(step, end_state, xs)
-    path = jnp.concatenate(
-        [s_last[None, :].astype(jnp.uint16), path_rev[::-1]], axis=0
-    )  # (T, B) uint16 (states < 4^K <= 65536; halves the host transfer)
+    # reverse=True iterates t = T-1 .. 0 WITHOUT materializing a reversed
+    # copy of the multi-GB bp tensor; ys come out in forward order, so the
+    # emitted states ARE the path.  uint16: states < 4^K <= 65536 (halves
+    # the host transfer).
+    xs = (bp, jnp.arange(T))
+    _, path = jax.lax.scan(step, end_state, xs, reverse=True)
     return jnp.moveaxis(path, 0, 1), path_logp
 
 
@@ -575,9 +575,10 @@ def fwbw(ops: TransOps, model: ModelArrays, ev: dict, keep_emissions: bool = Fal
         new_beta = jnp.where((t >= lengths - 1)[:, None], 0.0, cand)
         return new_beta, new_beta
 
-    xs_b = (ems[1:][::-1], jnp.arange(T - 2, -1, -1))
-    _, betas_rev = jax.lax.scan(bwd_step, beta_init, xs_b)
-    betas = jnp.concatenate([betas_rev[::-1], beta_init[None]], axis=0)  # (T, B, n)
+    # reverse=True avoids materializing a reversed copy of the emissions
+    xs_b = (ems[1:], jnp.arange(T - 1))
+    _, betas_fwd = jax.lax.scan(bwd_step, beta_init, xs_b, reverse=True)
+    betas = jnp.concatenate([betas_fwd, beta_init[None]], axis=0)  # (T, B, n)
 
     out = {
         "alpha": jnp.moveaxis(alphas, 0, 1),
@@ -728,9 +729,9 @@ def fwbw_grouped(gtf: GroupedTransFull, model: ModelArrays, ev: dict,
         new_beta = jnp.where((t >= lengths - 1)[:, None], 0.0, cand)
         return new_beta, new_beta
 
-    xs_b = (ems[1:][::-1], jnp.arange(T - 2, -1, -1))
-    _, betas_rev = jax.lax.scan(bwd_step, beta_init, xs_b)
-    betas = jnp.concatenate([betas_rev[::-1], beta_init[None]], axis=0)
+    xs_b = (ems[1:], jnp.arange(T - 1))
+    _, betas_fwd = jax.lax.scan(bwd_step, beta_init, xs_b, reverse=True)
+    betas = jnp.concatenate([betas_fwd, beta_init[None]], axis=0)
 
     out = {
         "alpha": jnp.moveaxis(alphas, 0, 1),
@@ -793,9 +794,9 @@ def fwbw_custom(ops: TransOps, model: ModelArrays, ev: dict):
         new_gamma = jnp.where((t >= lengths - 1)[:, None], beta_t, cand)
         return new_gamma, new_gamma
 
-    xs_b = (alphas[1:][::-1], betas[:-1][::-1], jnp.arange(T - 2, -1, -1))
-    _, gammas_rev = jax.lax.scan(bwd_step, gamma_init, xs_b)
-    gammas = jnp.concatenate([gammas_rev[::-1], gamma_init[None]], axis=0)
+    xs_b = (alphas[1:], betas[:-1], jnp.arange(T - 1))
+    _, gammas_fwd = jax.lax.scan(bwd_step, gamma_init, xs_b, reverse=True)
+    gammas = jnp.concatenate([gammas_fwd, gamma_init[None]], axis=0)
 
     return {
         "alpha": jnp.moveaxis(alphas, 0, 1),
