@@ -461,6 +461,32 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                 out = hmm.viterbi_decode(
                     sparse_ops, model, ev_batch, with_path=with_path
                 )
+            elif sharder.active:
+                # multi-device: assemble on host-visible arrays and shard
+                # the batch over the 'data' mesh axis
+                stacked = {
+                    k: jnp.stack([r[k] for r in rows]) for k in
+                    ("mean", "stdv", "log_stdv", "start")
+                }
+                gt = hmm.make_grouped_trans_device(
+                    stp[:, 0].astype(np.float32), stp[:, 1].astype(np.float32),
+                    K=cfg.kmer_size,
+                )
+                model = hmm.make_scaled_model_arrays(
+                    {k: jnp.asarray(v) for k, v in bank.items()},
+                    model_idx, pm_params,
+                )
+                ev_batch = {
+                    "mean": stacked["mean"]
+                    - jnp.asarray(drifts)[:, None] * stacked["start"],
+                    "stdv": stacked["stdv"],
+                    "log_stdv": stacked["log_stdv"],
+                    "length": length,
+                }
+                gt, model, ev_batch = sharder.shard((gt, model, ev_batch), Bc)
+                out = hmm.viterbi_decode_grouped(
+                    gt, model, ev_batch, with_path=with_path
+                )
             else:
                 # grouped fast path, fully fused: stacking + device-side
                 # drift correction + table/model construction + decode in

@@ -102,3 +102,37 @@ def test_2d_mesh_decode():
     ops_s, model_s, ev_s = shard_decode_inputs(mesh, ops, model, ev)
     out = hmm.viterbi_decode(ops_s, model_s, ev_s)
     assert np.array_equal(np.asarray(ref["path"]), np.asarray(out["path"]))
+
+
+def test_sharded_pipeline_equals_single(tmp_path):
+    """Full pipeline with num_shards=8 must produce the same FASTA as the
+    single-device run (reads are independent; data parallelism only)."""
+    import numpy as np
+
+    from nanocall_tpu import basecall, output, read_pipeline, simulate
+    from nanocall_tpu.config import Config
+    from nanocall_tpu.models import load_builtin_models
+
+    models = load_builtin_models("r73")
+    rng = np.random.default_rng(4)
+    d = tmp_path / "reads"
+    d.mkdir()
+    for i in range(8):
+        simulate.write_sim_fast5(
+            d / f"r{i}.fast5", models, "r73.t.006", None, 250, rng,
+            read_id=f"r{i}", noise_scale=0.5,
+        )
+
+    import io
+
+    def run(num_shards):
+        cfg = Config(train=False, num_shards=num_shards).apply_pore_preset()
+        cfg.template_only = True
+        files = read_pipeline.init_files([str(d)])
+        summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
+        results = basecall.basecall_reads(summaries, models, cfg)
+        buf = io.StringIO()
+        output.write_results_fasta(buf, results)
+        return buf.getvalue()
+
+    assert run(1) == run(8)
