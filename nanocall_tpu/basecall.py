@@ -198,12 +198,19 @@ def train_reads(summaries, models, cfg: Config) -> None:
     for T, B, chunks in buckets:
         for chunk in chunks:
             sub = [groups[i] for i in chunk]
-            joint = any(g.joint for g in sub)
-            ecfg = dataclasses.replace(em_cfg, double_strand=joint)
+            # per-candidate round caps (nanocall.cpp:420 vs :536): joint
+            # candidates get 2x max_rounds, single-strand 1x, independently
+            # within a mixed chunk; padding rows inherit the chunk max so
+            # they never raise the static loop bound on their own
+            real_flags = [g.joint for g in sub]
+            joint_flags = real_flags + [any(real_flags)] * (B - len(sub))
+            caps = em_cfg.caps(joint_flags)
             ev, mdl, pm0, st0 = pack_train_batch(
                 sub, summaries, models, cfg, pad_T=T, pad_G=B
             )
-            pm_f, st_f, fit, rounds = train.run_em(ev, mdl, pm0, st0, ecfg)
+            pm_f, st_f, fit, rounds = train.run_em(
+                ev, mdl, pm0, st0, em_cfg, caps=caps
+            )
             for gi, grp in enumerate(sub):
                 s = summaries[grp.read_idx]
                 s.pm_params[grp.key] = PoreModelParams.from_array(pm_f[gi])
@@ -377,7 +384,23 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                  sparse_ops, is_sparse_task, with_path: bool,
                  progress=None, ev_cache=None) -> None:
     """Decode one set of tasks in length buckets, filling task.logp (and
-    task.path when with_path)."""
+    task.path when with_path).
+
+    When a file-loaded default table is active (--trans), tasks whose
+    transition params are still default MUST decode through that sparse
+    table (nanocall.cpp:651-661: non-default st_params -> custom table,
+    default -> the loaded default_transitions) even when they share a
+    chunk with trained-st tasks, so the task list is partitioned by kind
+    before bucketing."""
+    if sparse_ops is not None:
+        sparse_tasks = [t for t in tasks if is_sparse_task(t)]
+        grouped_tasks = [t for t in tasks if not is_sparse_task(t)]
+        if sparse_tasks and grouped_tasks:
+            for part in (sparse_tasks, grouped_tasks):
+                _decode_pass(part, summaries, models, cfg, sharder,
+                             sparse_ops, is_sparse_task, with_path,
+                             progress=progress, ev_cache=ev_cache)
+            return
     import jax.numpy as jnp
 
     n = kmer.n_states(cfg.kmer_size)

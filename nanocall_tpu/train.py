@@ -435,6 +435,13 @@ class EMConfig:
     double_strand: bool = True  # doubles the round cap (nanocall.cpp:420)
     K: int = 6
 
+    def caps(self, joint) -> np.ndarray:
+        """Per-group round caps: (2 if double-strand else 1) * max_rounds
+        (nanocall.cpp:420 vs :534 — the cap is PER CANDIDATE, so a mixed
+        joint/single bucket must not share one bucket-wide cap)."""
+        joint = np.asarray(joint, bool)
+        return np.where(joint, 2 * self.max_rounds, self.max_rounds).astype(np.int32)
+
 
 @functools.partial(
     jax.jit,
@@ -447,6 +454,7 @@ def run_em_device(
     pm_params0,
     st_params0,
     min_progress,
+    caps,
     K: int = 6,
     train_drift: bool = True,
     train_scaling: bool = True,
@@ -459,9 +467,12 @@ def run_em_device(
       - singularity -> freeze with current params,
       - fit regression -> revert fit, freeze (params were not yet updated),
       - accept new params otherwise; freeze on min-progress after round 1,
-      - global cap max_rounds.
-    Exits early when every group is frozen.  One dispatch per bucket
-    (host-driven per-round stepping costs ~0.5s of relay latency per round).
+      - per-group round cap `caps` ((sst ? 2 : 1) * max_rounds,
+        nanocall.cpp:420,536 — a (G,) int32 vector, so mixed joint/single
+        buckets apply each candidate's own cap).
+    Exits early when every group is frozen; `max_rounds` is only the static
+    loop bound (= max cap).  One dispatch per bucket (host-driven per-round
+    stepping costs ~0.5s of relay latency per round).
 
     Returns (pm_params (G,6), st_params (G,2,2), fit (G,), rounds (G,)).
     """
@@ -485,8 +496,9 @@ def run_em_device(
         pm = jnp.where(advance[:, None], out["new_pm_params"], pm)
         st = jnp.where(advance[:, None, None], out["new_st_params"], st)
         rounds = jnp.where(advance, rounds + 1, rounds)
+        cap_hit = advance & (rounds >= caps)
         no_progress = advance & (rounds > 1) & (crt_fit < fit_prev + min_progress)
-        frozen2 = frozen2 | no_progress
+        frozen2 = frozen2 | cap_hit | no_progress
         return pm, st, crt_fit, frozen2, rounds, round_no + 1
 
     def cond(carry):
@@ -506,12 +518,16 @@ def run_em_device(
 
 
 def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarray,
-           cfg: EMConfig, n_shards: int = 0, device_loop: bool = True):
+           cfg: EMConfig, n_shards: int = 0, device_loop: bool = True,
+           caps: np.ndarray | None = None):
     """Run the full EM loop for a bucket of G training groups.
 
     Implements the reference's per-candidate stopping rules
     (nanocall.cpp:367-426): singularity stop, fit-regression revert,
-    round cap (2x for double-strand scaling), min-progress.
+    per-candidate round cap (2x for double-strand scaling — pass `caps`,
+    a (G,) int32 vector from EMConfig.caps(joint_flags), for mixed
+    buckets; defaults to the bucket-wide cfg.double_strand cap),
+    min-progress.
 
     device_loop=True runs the whole loop on device in one dispatch (default,
     avoids per-round host round-trips); False uses the host-stepped loop
@@ -519,20 +535,28 @@ def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarra
 
     Returns (pm_params (G,6), st_params (G,2,2), fit (G,), rounds (G,)).
     """
+    G = pm_params0.shape[0]
+    if caps is None:
+        caps = np.full(
+            G, (2 if cfg.double_strand else 1) * cfg.max_rounds, np.int32
+        )
+    # the reference's cap check runs AFTER ++round (do-while style,
+    # nanocall.cpp:420,536), so even --scaling-max-rounds 0 trains one round
+    caps = np.maximum(np.asarray(caps, np.int32), 1)
+    max_rounds = int(caps.max()) if G else 0
     if device_loop:
         from .parallel.mesh import DataSharder
 
         sharder = DataSharder(n_shards or None)
-        G0 = pm_params0.shape[0]
-        if sharder.active and G0 % sharder.n == 0:
-            ev = sharder.shard(ev, G0)
-            models = sharder.shard(models, G0)
-        max_rounds = 2 * cfg.max_rounds if cfg.double_strand else cfg.max_rounds
+        if sharder.active and G % sharder.n == 0:
+            ev = sharder.shard(ev, G)
+            models = sharder.shard(models, G)
         out = run_em_device(
             ev, models,
             np.asarray(pm_params0, np.float32),
             np.asarray(st_params0, np.float32),
             np.float32(cfg.min_progress),
+            caps,
             K=cfg.K, train_drift=cfg.train_drift,
             train_scaling=cfg.train_scaling,
             train_transitions=cfg.train_transitions,
@@ -544,7 +568,6 @@ def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarra
     from .parallel.mesh import DataSharder
 
     sharder = DataSharder(n_shards or None)
-    G = pm_params0.shape[0]
     if sharder.active and G % sharder.n == 0:
         ev = sharder.shard(ev, G)
         models = sharder.shard(models, G)
@@ -553,7 +576,6 @@ def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarra
     crt_fit = np.full(G, -np.inf, dtype=np.float64)
     rounds = np.zeros(G, dtype=np.int32)
     frozen = np.zeros(G, dtype=bool)
-    max_rounds = 2 * cfg.max_rounds if cfg.double_strand else cfg.max_rounds
 
     round_no = 0
     while not frozen.all() and round_no < max_rounds:
@@ -585,8 +607,9 @@ def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarra
         crt_pm = np.where(advance[:, None], new_pm, crt_pm)
         crt_st = np.where(advance[:, None, None], new_st, crt_st)
         rounds = np.where(advance, rounds + 1, rounds)
-        # stop conditions (nanocall.cpp:419-424): round cap handled by the
-        # while; min-progress needs round > 1
+        # stop conditions (nanocall.cpp:419-424): per-candidate round cap;
+        # min-progress needs round > 1
+        frozen |= advance & (rounds >= caps)
         no_progress = advance & (rounds > 1) & (crt_fit < old_fit + cfg.min_progress)
         frozen |= no_progress
         round_no += 1

@@ -140,6 +140,51 @@ def test_resume_from_stats(sim_dir, tmp_path):
     assert out1.read_text() == out2.read_text()
 
 
+def test_trans_mixed_chunk_uses_loaded_table(sim_dir, models, tmp_path):
+    """A chunk mixing default-st and trained-st tasks must decode the
+    default-st tasks through the FILE-LOADED table (--trans), not a grouped
+    table built from cfg defaults (nanocall.cpp:651-661: non-default
+    st_params -> custom table, default -> default_transitions, which IS the
+    --trans table when given).  Reference = each read decoded alone, where
+    chunks are trivially homogeneous."""
+    from nanocall_tpu import transitions
+
+    d, truths = sim_dir
+    cfg = Config(train=False, scaling_select_threshold=np.inf).apply_pore_preset()
+    cfg.double_strand_scaling = False
+    files = read_pipeline.init_files([str(d)])
+    summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
+    # a loaded table that differs sharply from the cfg defaults, so routing
+    # default-st tasks through the grouped-default path is visible; go
+    # through TSV round-trip so the table is a SparseTransitions exactly as
+    # the CLI's --trans produces
+    trans_path = tmp_path / "trans.tsv"
+    transitions.save_tsv(
+        transitions.build_structured(transitions.TransitionParams(0.25, 0.12), 6),
+        trans_path,
+    )
+    st_tbl = transitions.load_tsv(trans_path)
+    assert isinstance(st_tbl, transitions.SparseTransitions)
+    # make one read's candidates "trained" (non-default st params) so the
+    # decode chunks mix kinds
+    s1 = [s for s in summaries if s.read_id == "read_t1"][0]
+    for key in s1.st_params:
+        s1.st_params[key] = [transitions.TransitionParams(0.18, 0.22)] * 2
+
+    mixed = basecall.basecall_reads(summaries, models, cfg, st_tbl)
+    assert len(mixed) >= 3
+
+    ref = []
+    for s in summaries:
+        ref.extend(basecall.basecall_reads([s], models, cfg, st_tbl))
+    ref_by_name = {r.seq_name: r for r in ref}
+    assert set(r.seq_name for r in mixed) == set(ref_by_name)
+    for r in mixed:
+        rr = ref_by_name[r.seq_name]
+        assert r.base_seq == rr.base_seq, r.seq_name
+        assert np.isclose(r.logp, rr.logp, rtol=1e-5, atol=1e-3), r.seq_name
+
+
 def test_custom_transitions_file(sim_dir, tmp_path):
     """--trans with a custom table routes decode through the sparse kernel
     and produces output; with the table equal to the default, results match

@@ -1,5 +1,7 @@
 """EM trainer tests: one-round golden vs oracle, and parameter recovery."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -229,6 +231,53 @@ def test_em_recovers_transition_params():
     # moved decisively toward the generating kinetics
     assert p_stay > 0.2, p_stay
     assert p_skip < 0.2, p_skip
+
+
+def test_mixed_joint_single_round_caps():
+    """Per-candidate round caps in a mixed joint/single bucket
+    (nanocall.cpp:420 vs :536): a single-strand candidate sharing a chunk
+    with double-strand candidates must still be capped at max_rounds, not
+    2x max_rounds, and every group must behave exactly as if trained in
+    its own bucket."""
+    rng = np.random.default_rng(29)
+    models = make_models(rng)
+    T = 30
+    groups = [
+        [(sample_events(models[0], T, rng, scale=1.1, shift=2.0), 0),
+         (sample_events(models[1], T, rng, scale=1.1, shift=2.0), 1)],  # joint
+        [(sample_events(models[0], T, rng, scale=1.1, shift=2.0), 0)],  # single
+        [(sample_events(models[0], T, rng, scale=1.1, shift=2.0), 0),
+         (sample_events(models[1], T, rng, scale=1.1, shift=2.0), 1)],  # joint
+    ]
+    joint = [True, False, True]
+    pm0 = [pore_model.PoreModelParams(scale=1.0, shift=1.0)] * 3
+    st0 = [[[0.1, 0.3], [0.1, 0.3]]] * 3
+    # min_progress very negative => groups only stop on cap or regression,
+    # so the cap is actually exercised
+    cfg = train.EMConfig(K=K, train_drift=False, max_rounds=2,
+                         min_progress=-1e9)
+    caps = cfg.caps(joint)
+    assert caps.tolist() == [4, 2, 4]
+
+    ev, mdl, pm_arr, st_arr = build_train_batch(groups, models, pm0, st0)
+    for device_loop in (True, False):
+        pm_f, st_f, fit, rounds = train.run_em(
+            ev, mdl, pm_arr, st_arr, cfg, device_loop=device_loop, caps=caps
+        )
+        # the single-strand candidate must not exceed its own cap
+        assert rounds[1] <= 2, rounds
+        # each group must match an isolated single-group run
+        for g in range(3):
+            ev1, mdl1, pm1, st1 = build_train_batch(
+                [groups[g]], models, [pm0[g]], [st0[g]]
+            )
+            c1 = dataclasses.replace(cfg, double_strand=joint[g])
+            pm_i, st_i, fit_i, rounds_i = train.run_em(
+                ev1, mdl1, pm1, st1, c1, device_loop=device_loop
+            )
+            assert rounds[g] == rounds_i[0], (g, rounds, rounds_i)
+            assert np.allclose(pm_f[g], pm_i[0], rtol=1e-5, atol=1e-5)
+            assert np.allclose(fit[g], fit_i[0], rtol=1e-5, atol=1e-3)
 
 
 def test_device_em_loop_matches_host_loop():
