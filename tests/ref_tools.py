@@ -1,0 +1,70 @@
+"""Build the REAL reference dev tools from /root/reference sources.
+
+The reference's compute core is header-only; its vendored submodules
+(fast5, hpptools, tclap) are empty directories in the snapshot, so the
+tools cannot be built as shipped.  tests/ref_shims/ provides ~300 lines of
+reconstructed submodule headers (logger/logsumset/zstr/alg/fast5/tclap),
+which is enough to compile the three TSV-only dev tools:
+
+    run-viterbi               (run-viterbi.cpp:38-57)
+    run-fwbw                  (run-fwbw.cpp:60-93)
+    compute-state-transitions (compute-state-transitions.cpp:30-49)
+
+These binaries ARE the reference implementation (Viterbi.hpp,
+Forward_Backward*.hpp, State_Transitions.hpp compiled verbatim), giving
+the golden-file contract of HACKING.org:9-24 against the actual C++ code
+rather than a transcription.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+import subprocess
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+REF_SRC = pathlib.Path("/root/reference/src/nanocall")
+SHIMS = REPO / "tests" / "ref_shims"
+BUILD = REPO / "build" / "ref_tools"
+TOOLS = ("run-viterbi", "run-fwbw", "compute-state-transitions")
+
+
+def build_ref_tools() -> dict[str, str] | None:
+    """Compile the reference dev tools; returns {name: exe path}, or None
+    when the reference tree / compiler is unavailable (tests skip)."""
+    if not REF_SRC.is_dir() or shutil.which("g++") is None:
+        return None
+    BUILD.mkdir(parents=True, exist_ok=True)
+    dep_mtime = max(
+        [p.stat().st_mtime for p in SHIMS.rglob("*") if p.is_file()]
+        + [p.stat().st_mtime for p in REF_SRC.glob("*.hpp")]
+    )
+    out = {}
+    for t in TOOLS:
+        exe = BUILD / t
+        src = REF_SRC / f"{t}.cpp"
+        if not exe.exists() or exe.stat().st_mtime < max(
+            dep_mtime, src.stat().st_mtime
+        ):
+            cmd = [
+                "g++", "-O2", "-std=c++11",
+                f"-I{SHIMS}", f"-I{REF_SRC}",
+                "-o", str(exe), str(src),
+            ]
+            r = subprocess.run(cmd, capture_output=True, text=True)
+            if r.returncode != 0:
+                raise RuntimeError(
+                    f"failed to build reference tool {t}:\n{r.stderr[:4000]}"
+                )
+        out[t] = str(exe)
+    return out
+
+
+def run_tool(exe: str, *args: str) -> str:
+    """Run a compiled reference tool, returning stdout (raises on failure)."""
+    r = subprocess.run(
+        [exe, *args], capture_output=True, text=True, timeout=600
+    )
+    if r.returncode != 0:
+        raise RuntimeError(f"{exe} failed ({r.returncode}): {r.stderr[:2000]}")
+    return r.stdout
