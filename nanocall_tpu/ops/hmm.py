@@ -285,11 +285,16 @@ def make_grouped_trans(params=None, K: int = 6, p_stay=None, p_skip=None) -> Gro
     )
 
 
-def viterbi_forward_grouped(gt: GroupedTrans, model: ModelArrays, ev: dict):
+def viterbi_forward_grouped(gt: GroupedTrans, model: ModelArrays, ev: dict,
+                            unroll: int = 1):
     """Grouped max-plus forward pass: per step, reduce alpha to 4-way and
     16-way column maxima once, then each destination j combines three
     candidates (stay, step-group, skip-group) — ~3-4x less VPU work than
     the 21-slot expansion, with identical results and tie-breaking.
+
+    Returns (final_alpha (B, n), bps (T-1, B, n) uint8) — bps[t-1] is the
+    backpointer table for event t (event 0 has no predecessor; the old
+    sentinel row forced a full copy of the multi-GB tensor via concatenate).
 
     bp encoding (uint8): (group << 6) | within-group argmax
       group 0: stay (from = j)
@@ -365,9 +370,8 @@ def viterbi_forward_grouped(gt: GroupedTrans, model: ModelArrays, ev: dict):
         active = (t < lengths)[:, None]
         return jnp.where(active, new_alpha, alpha), bp
 
-    final_alpha, bps = jax.lax.scan(step, alpha0, xs)
-    bp_full = jnp.concatenate([jnp.zeros((1, B, n), dtype=jnp.uint8), bps], axis=0)
-    return final_alpha, bp_full
+    final_alpha, bps = jax.lax.scan(step, alpha0, xs, unroll=unroll)
+    return final_alpha, bps
 
 
 def grouped_from_state(bp: jax.Array, j: jax.Array, K: int) -> jax.Array:
@@ -381,9 +385,13 @@ def grouped_from_state(bp: jax.Array, j: jax.Array, K: int) -> jax.Array:
     )
 
 
-def viterbi_traceback_grouped(gt: GroupedTrans, final_alpha, bp, lengths):
-    """Traceback for the grouped bp encoding."""
-    T, B, n = bp.shape
+def viterbi_traceback_grouped(gt: GroupedTrans, final_alpha, bps, lengths,
+                              unroll: int = 8):
+    """Traceback for the grouped bp encoding; bps has T-1 rows (event t's
+    backpointers at bps[t-1]).  The scan body is tiny (one masked (B, n)
+    reduction), so the sequential loop is iteration-latency-bound —
+    unrolling amortizes the per-iteration overhead."""
+    Tm, B, n = bps.shape
     K = gt.K
     end_state = jnp.argmax(final_alpha, axis=-1).astype(jnp.int32)
     path_logp = jnp.max(final_alpha, axis=-1)
@@ -395,34 +403,42 @@ def viterbi_traceback_grouped(gt: GroupedTrans, final_alpha, bp, lengths):
         onehot = state_iota == s_eff[:, None]
         k = jnp.sum(jnp.where(onehot, bp_t.astype(jnp.int32), 0), axis=-1)
         s_prev = grouped_from_state(k.astype(jnp.uint8), s_eff, K)
-        s_new = jnp.where((t <= lengths - 1) & (t > 0), s_prev, s_eff)
+        s_new = jnp.where(t <= lengths - 1, s_prev, s_eff)
         return s_new, s_eff.astype(jnp.uint16)
 
     # reverse=True: no reversed copy of the multi-GB bp tensor; forward-
-    # order ys are the path directly
-    xs = (bp, jnp.arange(T))
-    _, path = jax.lax.scan(step, end_state, xs, reverse=True)
+    # order ys are the path at t = 1..T-1, and the final carry is the
+    # state at t = 0
+    xs = (bps, jnp.arange(1, Tm + 1))
+    s0, path_rest = jax.lax.scan(step, end_state, xs, reverse=True,
+                                 unroll=unroll)
+    path = jnp.concatenate([s0[None].astype(jnp.uint16), path_rest], axis=0)
     return jnp.moveaxis(path, 0, 1), path_logp
 
 
-@functools.partial(jax.jit, static_argnames=("with_path",))
+@functools.partial(
+    jax.jit, static_argnames=("with_path", "fwd_unroll", "tb_unroll")
+)
 def viterbi_decode_grouped(gt: GroupedTrans, model: ModelArrays, ev: dict,
-                           with_path: bool = True):
+                           with_path: bool = True, fwd_unroll: int = 1,
+                           tb_unroll: int = 8):
     """Fast-path Viterbi decode on the grouped decomposition (standard
     stay/step/skip structured transitions only)."""
-    final_alpha, bp = viterbi_forward_grouped(gt, model, ev)
+    final_alpha, bps = viterbi_forward_grouped(gt, model, ev, unroll=fwd_unroll)
     if not with_path:
         return {"logp": jnp.max(final_alpha, axis=-1)}
-    path, logp = viterbi_traceback_grouped(gt, final_alpha, bp, ev["length"])
+    path, logp = viterbi_traceback_grouped(gt, final_alpha, bps, ev["length"],
+                                           unroll=tb_unroll)
     return {"path": path, "logp": logp}
 
 
-def viterbi_forward(ops: TransOps, model: ModelArrays, ev: dict):
+def viterbi_forward(ops: TransOps, model: ModelArrays, ev: dict,
+                    unroll: int = 1):
     """Max-plus forward pass (Viterbi.hpp:44-99), batched + masked.
 
     ev: dict of (B, T) arrays {mean, stdv, log_stdv} + (B,) int32 'length'.
-    Returns (final_alpha (B, n), bp (T, B, n) uint8 slot ids).
-    bp[0] is unused (sentinel 0).
+    Returns (final_alpha (B, n), bps (T-1, B, n) uint8 slot ids); bps[t-1]
+    holds event t's backpointers (event 0 has no predecessor).
     """
     n = model.level_mean.shape[-1]
     log_n = jnp.float32(math.log(n))
@@ -453,23 +469,22 @@ def viterbi_forward(ops: TransOps, model: ModelArrays, ev: dict):
         active = (t < lengths)[:, None]
         return jnp.where(active, new_alpha, alpha), bp
 
-    final_alpha, bps = jax.lax.scan(step, alpha0, xs)
-    bp_full = jnp.concatenate(
-        [jnp.zeros((1, B, n), dtype=jnp.uint8), bps], axis=0
-    )  # (T, B, n)
-    return final_alpha, bp_full
+    final_alpha, bps = jax.lax.scan(step, alpha0, xs, unroll=unroll)
+    return final_alpha, bps
 
 
-def viterbi_traceback(ops: TransOps, final_alpha, bp, lengths):
+def viterbi_traceback(ops: TransOps, final_alpha, bps, lengths,
+                      unroll: int = 8):
     """Traceback (Viterbi.hpp:120-142): returns (path (B, T) int32,
     path_logp (B,) float32).  Entries at t >= length are clamped to the
     first real state of the suffix (harmless; callers mask by length).
 
     The per-step backpointer lookup is a one-hot masked reduction over the
     state axis (VPU-friendly) rather than a gather: 0.5 M lane-ops per step
-    beat a dynamic gather's lowering on TPU.
+    beat a dynamic gather's lowering on TPU; the tiny body makes the loop
+    iteration-latency-bound, so it is unrolled.
     """
-    T, B, n = bp.shape
+    Tm, B, n = bps.shape  # T-1 rows: bps[t-1] = event t's backpointers
     K = ops.K
     # end state: argmax, first occurrence = lowest index (Viterbi.hpp:125-131)
     end_state = jnp.argmax(final_alpha, axis=-1).astype(jnp.int32)  # (B,)
@@ -488,25 +503,32 @@ def viterbi_traceback(ops: TransOps, final_alpha, bp, lengths):
             s_prev = from_idx[k, s_eff]
         else:
             s_prev = from_state_of_slot(k, s_eff, K)
-        s_new = jnp.where((t <= lengths - 1) & (t > 0), s_prev, s_eff)
+        s_new = jnp.where(t <= lengths - 1, s_prev, s_eff)
         return s_new, s_eff.astype(jnp.uint16)
 
-    # reverse=True iterates t = T-1 .. 0 WITHOUT materializing a reversed
-    # copy of the multi-GB bp tensor; ys come out in forward order, so the
-    # emitted states ARE the path.  uint16: states < 4^K <= 65536 (halves
-    # the host transfer).
-    xs = (bp, jnp.arange(T))
-    _, path = jax.lax.scan(step, end_state, xs, reverse=True)
+    # reverse=True iterates t = T-1 .. 1 WITHOUT materializing a reversed
+    # copy of the multi-GB bp tensor; ys come out in forward order (the
+    # path at t = 1..T-1) and the final carry is the state at t = 0.
+    # uint16: states < 4^K <= 65536 (halves the host transfer).
+    xs = (bps, jnp.arange(1, Tm + 1))
+    s0, path_rest = jax.lax.scan(step, end_state, xs, reverse=True,
+                                 unroll=unroll)
+    path = jnp.concatenate([s0[None].astype(jnp.uint16), path_rest], axis=0)
     return jnp.moveaxis(path, 0, 1), path_logp
 
 
-@functools.partial(jax.jit, static_argnames=("with_path",))
-def viterbi_decode(ops: TransOps, model: ModelArrays, ev: dict, with_path: bool = True):
+@functools.partial(
+    jax.jit, static_argnames=("with_path", "fwd_unroll", "tb_unroll")
+)
+def viterbi_decode(ops: TransOps, model: ModelArrays, ev: dict,
+                   with_path: bool = True, fwd_unroll: int = 1,
+                   tb_unroll: int = 8):
     """Full Viterbi decode: returns dict {path (B,T) int32, logp (B,)}."""
-    final_alpha, bp = viterbi_forward(ops, model, ev)
+    final_alpha, bps = viterbi_forward(ops, model, ev, unroll=fwd_unroll)
     if not with_path:
         return {"logp": jnp.max(final_alpha, axis=-1)}
-    path, logp = viterbi_traceback(ops, final_alpha, bp, ev["length"])
+    path, logp = viterbi_traceback(ops, final_alpha, bps, ev["length"],
+                                   unroll=tb_unroll)
     return {"path": path, "logp": logp}
 
 

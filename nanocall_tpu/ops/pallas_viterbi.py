@@ -281,7 +281,13 @@ def viterbi_decode_hybrid(gt: GroupedTrans, model: ModelArrays, ev: dict,
 
     T = ev["mean"].shape[1]
     ev_p, _ = _pad_T(ev)
-    final_alpha, bp = hmm_mod.viterbi_forward_grouped(gt, model, ev_p)
+    final_alpha, bps = hmm_mod.viterbi_forward_grouped(gt, model, ev_p)
+    # the XLA forward emits T-1 bp rows (event 0 has no predecessor); the
+    # Pallas traceback wants a full (Tp, B, n) tensor with a sentinel row 0
+    B, n = final_alpha.shape
+    bp = jnp.concatenate(
+        [jnp.zeros((1, B, n), jnp.uint8), bps], axis=0
+    )
     path, logp = viterbi_traceback_pallas(
         gt, final_alpha, bp, ev["length"], interpret=interpret
     )
