@@ -195,6 +195,10 @@ def train_reads(summaries, models, cfg: Config) -> None:
     buckets = batching.make_buckets(
         lengths, cfg.train_group_batch, BP_MEM_BUDGET, kmer.n_states(cfg.kmer_size)
     )
+    # phase 1: pack + dispatch every bucket without blocking (device EM of
+    # chunk N overlaps host packing of chunk N+1 — pfor-style overlap,
+    # nanocall.cpp:859-861, expressed as async dispatch)
+    pending = []
     for T, B, chunks in buckets:
         for chunk in chunks:
             sub = [groups[i] for i in chunk]
@@ -208,22 +212,26 @@ def train_reads(summaries, models, cfg: Config) -> None:
             ev, mdl, pm0, st0 = pack_train_batch(
                 sub, summaries, models, cfg, pad_T=T, pad_G=B
             )
-            pm_f, st_f, fit, rounds = train.run_em(
-                ev, mdl, pm0, st0, em_cfg, caps=caps
+            out_dev = train.run_em(
+                ev, mdl, pm0, st0, em_cfg, caps=caps, fetch=False
             )
-            for gi, grp in enumerate(sub):
-                s = summaries[grp.read_idx]
-                s.pm_params[grp.key] = PoreModelParams.from_array(pm_f[gi])
-                s.st_params[grp.key] = [
-                    TransitionParams(float(st_f[gi, st, 0]), float(st_f[gi, st, 1]))
-                    for st in (0, 1)
-                ]
-                s.fits[grp.key] = float(fit[gi])
-                log.info(
-                    "scaling_result read [%s] model [%s] pm_params [%s] fit [%g] rounds [%d]",
-                    s.read_id, "+".join(n for n in grp.key if n),
-                    s.pm_params[grp.key], fit[gi], rounds[gi],
-                )
+            pending.append((sub, out_dev))
+    # phase 2: fetch + scatter in dispatch order
+    for sub, out_dev in pending:
+        pm_f, st_f, fit, rounds = train.fetch_em_result(out_dev)
+        for gi, grp in enumerate(sub):
+            s = summaries[grp.read_idx]
+            s.pm_params[grp.key] = PoreModelParams.from_array(pm_f[gi])
+            s.st_params[grp.key] = [
+                TransitionParams(float(st_f[gi, st, 0]), float(st_f[gi, st, 1]))
+                for st in (0, 1)
+            ]
+            s.fits[grp.key] = float(fit[gi])
+            log.info(
+                "scaling_result read [%s] model [%s] pm_params [%s] fit [%g] rounds [%d]",
+                s.read_id, "+".join(n for n in grp.key if n),
+                s.pm_params[grp.key], fit[gi], rounds[gi],
+            )
     _select_models(summaries, cfg)
 
 
@@ -411,6 +419,9 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
         lengths, cfg.bucket_max_batch, BP_MEM_BUDGET, n,
         align=sharder.n if sharder.active else 1,
     )
+    # phase 1: pack + dispatch every chunk asynchronously; phase 2 below
+    # fetches in order (device decode of chunk N overlaps packing of N+1)
+    dispatched = []
     for T, B, chunks in buckets:
         for chunk in chunks:
             sub = [tasks[i] for i in chunk]
@@ -521,14 +532,16 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                     stp.astype(np.float32), length,
                     K=cfg.kmer_size, with_path=with_path,
                 )
-            logps = np.asarray(out["logp"])
-            paths = np.asarray(out["path"]) if with_path else None
-            for bi, t in enumerate(sub):
-                t.logp = float(logps[bi])
-                if with_path:
-                    t.path = paths[bi, : len(t.ev)]
-            if progress is not None:
-                progress.add(len(sub))
+            dispatched.append((sub, out))
+    for sub, out in dispatched:
+        logps = np.asarray(out["logp"])
+        paths = np.asarray(out["path"]) if with_path else None
+        for bi, t in enumerate(sub):
+            t.logp = float(logps[bi])
+            if with_path:
+                t.path = paths[bi, : len(t.ev)]
+        if progress is not None:
+            progress.add(len(sub))
 
 
 def pick_winners(tasks, summaries) -> list:

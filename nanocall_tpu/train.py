@@ -517,9 +517,16 @@ def run_em_device(
     return pm, st, fit, rounds
 
 
+def fetch_em_result(out):
+    """Block on and convert a fetch=False run_em result."""
+    pm, st, fit, rounds = jax.device_get(out)
+    return (np.asarray(pm), np.asarray(st),
+            np.asarray(fit, np.float64), np.asarray(rounds))
+
+
 def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarray,
            cfg: EMConfig, n_shards: int = 0, device_loop: bool = True,
-           caps: np.ndarray | None = None):
+           caps: np.ndarray | None = None, fetch: bool = True):
     """Run the full EM loop for a bucket of G training groups.
 
     Implements the reference's per-candidate stopping rules
@@ -532,6 +539,10 @@ def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarra
     device_loop=True runs the whole loop on device in one dispatch (default,
     avoids per-round host round-trips); False uses the host-stepped loop
     (same semantics, used as a cross-check in tests).
+
+    fetch=False (device_loop only) returns the raw on-device output tuple
+    without blocking, so callers can dispatch every bucket before fetching
+    any (host packing of bucket N+1 overlaps device EM of bucket N).
 
     Returns (pm_params (G,6), st_params (G,2,2), fit (G,), rounds (G,)).
     """
@@ -562,9 +573,9 @@ def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarra
             train_transitions=cfg.train_transitions,
             max_rounds=max_rounds,
         )
-        pm, st, fit, rounds = jax.device_get(out)
-        return (np.asarray(pm), np.asarray(st),
-                np.asarray(fit, np.float64), np.asarray(rounds))
+        if not fetch:
+            return out
+        return fetch_em_result(out)
     from .parallel.mesh import DataSharder
 
     sharder = DataSharder(n_shards or None)
