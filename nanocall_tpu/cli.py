@@ -182,10 +182,9 @@ def init_transitions(cfg: Config):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    level = logging.INFO
-    for spec in args.log:
-        if spec in ("debug", "debug1", "debug2"):
-            level = logging.DEBUG
+    from .observe import set_levels_from_options
+
+    level = set_levels_from_options(args.log)
     logging.basicConfig(level=level, format="%(name)s: %(levelname)s: %(message)s")
     cfg = config_from_args(args)
 

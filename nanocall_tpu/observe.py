@@ -16,6 +16,43 @@ import time
 
 log = logging.getLogger("nanocall")
 
+# hpptools logger levels (logger.hpp, used via --log; nanocall.cpp:911-912):
+# error > warning > info > debug > debug1 > debug2.  debug1/debug2 map to
+# custom python levels below DEBUG so `--log debug2` reveals more than
+# `--log debug`.
+DEBUG1 = 9
+DEBUG2 = 8
+logging.addLevelName(DEBUG1, "DEBUG1")
+logging.addLevelName(DEBUG2, "DEBUG2")
+LOG_LEVELS = {
+    "error": logging.ERROR,
+    "warning": logging.WARNING,
+    "info": logging.INFO,
+    "debug": logging.DEBUG,
+    "debug1": DEBUG1,
+    "debug2": DEBUG2,
+}
+
+
+def set_levels_from_options(specs, default=logging.INFO) -> int:
+    """Reference --log semantics (Logger::set_levels_from_options,
+    nanocall.cpp:911-912): each spec is either `<level>` (sets the default
+    level) or `<facility>:<level>` (sets that facility's logger only, e.g.
+    `--log Fast5_Summary:debug`).  Returns the default level; facility
+    loggers are configured as a side effect."""
+    root_level = default
+    for spec in specs:
+        if ":" in spec:
+            fac, _, lvl = spec.partition(":")
+            if lvl not in LOG_LEVELS:
+                raise SystemExit(f"unknown log level: {lvl!r} (in {spec!r})")
+            logging.getLogger(fac).setLevel(LOG_LEVELS[lvl])
+        else:
+            if spec not in LOG_LEVELS:
+                raise SystemExit(f"unknown log level: {spec!r}")
+            root_level = LOG_LEVELS[spec]
+    return root_level
+
 
 class StageTimer:
     """Wall + process-CPU timing per pipeline stage."""

@@ -103,3 +103,32 @@ def test_pipeline_mixed_good_and_bad(tmp_path, models):
     results = basecall.basecall_reads(summaries, models, c)
     assert len(results) == 1
     assert "good" in results[0].seq_name
+
+
+def test_log_facility_levels():
+    """--log spec semantics (nanocall.cpp:911-912): bare level sets the
+    default; `facility:level` gates only that facility's logger."""
+    import logging
+
+    import pytest
+
+    from nanocall_tpu import observe
+
+    lvl = observe.set_levels_from_options(["Fast5_Summary:debug2"])
+    assert lvl == logging.INFO  # default untouched
+    fac = logging.getLogger("Fast5_Summary")
+    assert fac.level == observe.DEBUG2
+    assert fac.isEnabledFor(observe.DEBUG2)
+    assert not logging.getLogger("nanocall").isEnabledFor(logging.DEBUG)
+
+    lvl = observe.set_levels_from_options(["debug", "Viterbi:error"])
+    assert lvl == logging.DEBUG
+    assert logging.getLogger("Viterbi").level == logging.ERROR
+
+    with pytest.raises(SystemExit):
+        observe.set_levels_from_options(["nonsense"])
+    with pytest.raises(SystemExit):
+        observe.set_levels_from_options(["Viterbi:loud"])
+    # reset facility levels so other tests are unaffected
+    logging.getLogger("Fast5_Summary").setLevel(logging.NOTSET)
+    logging.getLogger("Viterbi").setLevel(logging.NOTSET)
