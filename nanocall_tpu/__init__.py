@@ -7,4 +7,10 @@ pore-model scaling and transition parameters, strand/hairpin detection, and
 batched Viterbi decoding to FASTA, data-parallel over a TPU device mesh.
 """
 
-__version__ = "0.1.0"
+def __getattr__(name):
+    # lazy git-describe version stamping (src/get-dir-version parity)
+    if name == "__version__":
+        from .version import get_version
+
+        return get_version()
+    raise AttributeError(name)
