@@ -10,7 +10,12 @@
 // (stay + 4 step + 16 skip-1, State_Transitions.hpp:181-220), same float
 // arithmetic, same O(n_ev x 4096 x 21) inner loop.
 //
-// Usage: cpu_nanocall [n_reads] [n_events] [n_threads]
+// Usage: cpu_nanocall [n_reads] [n_events] [n_threads] [events.bin]
+// events.bin (optional): float32 little-endian (n_reads, n_events, 2)
+// array of (mean, stdv) pairs — lets the bench feed BOTH sides the same
+// model-generated workload.  Without it, inputs are synthesized uniform
+// (timing is data-independent either way: the inner loop has a fixed
+// op count and no data-dependent branches).
 // Prints one line: events/s.
 
 #include <atomic>
@@ -162,14 +167,36 @@ int main(int argc, char** argv) {
         m.log_sd_lambda.push_back(std::log(lam));
     }
     std::vector<Read> reads(n_reads);
-    for (auto& r : reads) {
-        std::mt19937 g2(gen());
-        std::uniform_real_distribution<float> mean_d(40.f, 90.f), stdv_d(0.5f, 1.5f);
-        for (int t = 0; t < n_events; ++t) {
-            r.mean.push_back(mean_d(g2));
-            float s = stdv_d(g2);
-            r.stdv.push_back(s);
-            r.log_stdv.push_back(std::log(s));
+    if (argc > 4) {
+        FILE* f = fopen(argv[4], "rb");
+        if (!f) {
+            fprintf(stderr, "cannot open events file %s\n", argv[4]);
+            return 1;
+        }
+        std::vector<float> row(2 * (size_t)n_events);
+        for (auto& r : reads) {
+            if (fread(row.data(), sizeof(float), row.size(), f) != row.size()) {
+                fprintf(stderr, "short read from events file\n");
+                return 1;
+            }
+            for (int t = 0; t < n_events; ++t) {
+                r.mean.push_back(row[2 * t]);
+                r.stdv.push_back(row[2 * t + 1]);
+                r.log_stdv.push_back(std::log(row[2 * t + 1]));
+            }
+        }
+        fclose(f);
+    } else {
+        for (auto& r : reads) {
+            std::mt19937 g2(gen());
+            std::uniform_real_distribution<float> mean_d(40.f, 90.f),
+                stdv_d(0.5f, 1.5f);
+            for (int t = 0; t < n_events; ++t) {
+                r.mean.push_back(mean_d(g2));
+                float s = stdv_d(g2);
+                r.stdv.push_back(s);
+                r.log_stdv.push_back(std::log(s));
+            }
         }
     }
 

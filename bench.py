@@ -29,7 +29,42 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CPU_BASELINE_EVENTS_PER_S = 14002.0
 
 
-def measure_cpu(reads: int, events: int) -> float:
+def sample_walk_events(pm, B: int, T: int, rng, p_stay=0.1, p_skip=0.3,
+                       noise=1.0):
+    """Vectorized generative walk through the stay/step/skip chain, emitting
+    from the pore model — the bench workload shares the shape of real reads
+    (and of the accuracy runs) instead of uniform noise.
+
+    Skip distance follows the reference's geometric tail
+    (State_Transitions.hpp:125-144); for the bench we cap at 2 (mass beyond
+    is < 2%% and timing-neutral for the fixed-shape kernels).
+    """
+    n = pm.level_mean.shape[0]
+    K = int(round(np.log(n) / np.log(4)))
+    mask = n - 1
+    s = rng.integers(0, n, B)
+    states = np.empty((B, T), np.int64)
+    u = rng.random((B, T))
+    bases = rng.integers(0, 4, (B, T))
+    bases2 = rng.integers(0, 4, (B, T))
+    p_step = 1.0 - p_stay - p_skip
+    for t in range(T):
+        states[:, t] = s
+        stay = u[:, t] < p_stay
+        step = u[:, t] < p_stay + p_step
+        s_step = ((s << 2) & mask) | bases[:, t]
+        s_skip = ((s << 4) & mask) | (bases[:, t] << 2) | bases2[:, t]
+        s = np.where(stay, s, np.where(step, s_step, s_skip))
+    lm = pm.level_mean[states]
+    ls = pm.level_stdv[states]
+    sm = pm.sd_mean[states]
+    ss = pm.sd_stdv[states]
+    mean = rng.normal(lm, ls * noise).astype(np.float32)
+    stdv = np.maximum(rng.normal(sm, ss * noise), 0.05).astype(np.float32)
+    return mean, stdv
+
+
+def measure_cpu(reads: int, events: int, events_file: str = "") -> float:
     exe = os.path.join(REPO, "baseline", "cpu_nanocall")
     if not os.path.exists(exe):
         subprocess.run(
@@ -37,10 +72,10 @@ def measure_cpu(reads: int, events: int) -> float:
              "-o", exe, exe + ".cpp"],
             check=True,
         )
-    out = subprocess.run(
-        [exe, str(reads), str(events), "8"], capture_output=True, text=True,
-        check=True,
-    )
+    args = [exe, str(reads), str(events), "8"]
+    if events_file:
+        args.append(events_file)
+    out = subprocess.run(args, capture_output=True, text=True, check=True)
     return float(json.loads(out.stdout)["events_per_s"])
 
 
@@ -63,9 +98,11 @@ def measure_tpu(B: int, T: int, n_iter: int = 8) -> dict:
         np.tile(pm.level_mean, (B, 1)), np.tile(pm.level_stdv, (B, 1)),
         np.tile(pm.sd_mean, (B, 1)), np.tile(pm.sd_lambda, (B, 1)),
     )
-    stdv = rng.uniform(0.5, 1.5, (B, T)).astype(np.float32)
+    # model-generated signal (the accuracy runs' generative process), not
+    # uniform noise: device timing and accuracy share a workload shape
+    mean, stdv = sample_walk_events(pm, B, T, rng)
     ev = {
-        "mean": rng.uniform(40.0, 90.0, (B, T)).astype(np.float32),
+        "mean": mean,
         "stdv": stdv,
         "log_stdv": np.log(stdv),
         "length": np.full(B, T, np.int32),
@@ -74,9 +111,12 @@ def measure_tpu(B: int, T: int, n_iter: int = 8) -> dict:
     # warm up (compile)
     out = hmm.viterbi_decode_grouped(gt, model, ev)
     paths = np.asarray(out["path"])
+    # sustained throughput: overlapped dispatches (production runs a
+    # continuous stream; the relay's fixed per-call latency would otherwise
+    # serialize into the measurement)
     t0 = time.time()
-    for _ in range(n_iter):
-        out = hmm.viterbi_decode_grouped(gt, model, ev)
+    outs = [hmm.viterbi_decode_grouped(gt, model, ev) for _ in range(n_iter)]
+    for out in outs:
         paths = np.asarray(out["path"])
     dt = (time.time() - t0) / n_iter
     # host-side move computation + base assembly for one batch (counted)
@@ -178,7 +218,22 @@ def main():
 
     cpu = CPU_BASELINE_EVENTS_PER_S
     if args.cpu:
-        cpu = measure_cpu(min(B, 16), min(T, 2048))
+        # same generative workload on both sides (apples-to-apples; the
+        # C++ inner loop is data-independent, but measure it anyway)
+        import tempfile
+
+        from nanocall_tpu.models import load_builtin_models
+
+        pm = load_builtin_models("r73")["r73.t.006"]
+        Bc, Tc = min(B, 16), min(T, 2048)
+        mean, stdv = sample_walk_events(pm, Bc, Tc, np.random.default_rng(0))
+        with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as f:
+            np.stack([mean, stdv], axis=-1).astype("<f4").tofile(f)
+            ev_path = f.name
+        try:
+            cpu = measure_cpu(Bc, Tc, ev_path)
+        finally:
+            os.unlink(ev_path)
         print(f"cpu baseline: {cpu:,.0f} events/s", file=sys.stderr)
 
     res = measure_tpu(B, T, n_iter=3 if args.quick else 8)
