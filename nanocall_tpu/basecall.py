@@ -217,21 +217,26 @@ def train_reads(summaries, models, cfg: Config) -> None:
             )
             pending.append((sub, out_dev))
     # phase 2: fetch + scatter in dispatch order
+    from .observe import read_context
+
     for sub, out_dev in pending:
         pm_f, st_f, fit, rounds = train.fetch_em_result(out_dev)
         for gi, grp in enumerate(sub):
             s = summaries[grp.read_idx]
-            s.pm_params[grp.key] = PoreModelParams.from_array(pm_f[gi])
-            s.st_params[grp.key] = [
-                TransitionParams(float(st_f[gi, st, 0]), float(st_f[gi, st, 1]))
-                for st in (0, 1)
-            ]
-            s.fits[grp.key] = float(fit[gi])
-            log.info(
-                "scaling_result read [%s] model [%s] pm_params [%s] fit [%g] rounds [%d]",
-                s.read_id, "+".join(n for n in grp.key if n),
-                s.pm_params[grp.key], fit[gi], rounds[gi],
-            )
+            # per-read failure context (global_assert.hpp:21-25, set at
+            # nanocall.cpp:295)
+            with read_context(s.read_id):
+                s.pm_params[grp.key] = PoreModelParams.from_array(pm_f[gi])
+                s.st_params[grp.key] = [
+                    TransitionParams(float(st_f[gi, st, 0]), float(st_f[gi, st, 1]))
+                    for st in (0, 1)
+                ]
+                s.fits[grp.key] = float(fit[gi])
+                log.info(
+                    "scaling_result read [%s] model [%s] pm_params [%s] fit [%g] rounds [%d]",
+                    s.read_id, "+".join(n for n in grp.key if n),
+                    s.pm_params[grp.key], fit[gi], rounds[gi],
+                )
     _select_models(summaries, cfg)
 
 
@@ -647,27 +652,30 @@ def select_and_assemble(winners, summaries, cfg: Config) -> list:
     """Assemble base sequences for the winning tasks (as chosen by
     pick_winners), record preferred models, and return results ordered by
     (read, strand)."""
+    from .observe import read_context
+
     results = []
     for t in sorted(winners, key=lambda t: (t.read_idx, t.strand)):
         s = summaries[t.read_idx]
-        if s.scale_strands_together:
-            s.preferred_model[2] = t.key
-        s.preferred_model[t.strand] = t.model_name
-        from . import native
+        with read_context(s.read_id):
+            if s.scale_strands_together:
+                s.preferred_model[2] = t.key
+            s.preferred_model[t.strand] = t.model_name
+            from . import native
 
-        moves, base_seq = native.moves_and_base_seq(t.path, cfg.kmer_size)
-        seq_name = f"{s.read_id}:{s.base_file_name}:{t.strand}"
-        log.info(
-            "best_model read [%s] strand [%d] model [%s] log_path_prob [%g]",
-            s.read_id, t.strand, t.model_name, t.logp,
-        )
-        results.append(
-            BasecallResult(
-                read_idx=t.read_idx, strand=t.strand, seq_name=seq_name,
-                base_seq=base_seq, model_name=t.model_name, key=t.key,
-                logp=t.logp, path=t.path, moves=moves, ev=t.ev,
+            moves, base_seq = native.moves_and_base_seq(t.path, cfg.kmer_size)
+            seq_name = f"{s.read_id}:{s.base_file_name}:{t.strand}"
+            log.info(
+                "best_model read [%s] strand [%d] model [%s] log_path_prob [%g]",
+                s.read_id, t.strand, t.model_name, t.logp,
             )
-        )
+            results.append(
+                BasecallResult(
+                    read_idx=t.read_idx, strand=t.strand, seq_name=seq_name,
+                    base_seq=base_seq, model_name=t.model_name, key=t.key,
+                    logp=t.logp, path=t.path, moves=moves, ev=t.ev,
+                )
+            )
     return results
 
 

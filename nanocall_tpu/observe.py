@@ -54,6 +54,41 @@ def set_levels_from_options(specs, default=logging.INFO) -> int:
     return root_level
 
 
+# -- per-read failure context (global_assert.hpp:21-25) ---------------------
+#
+# The reference keeps a thread-local context string ("processing read X")
+# that ASSERT prints on failure (set per work item, nanocall.cpp:295,624).
+# TPU-native equivalent: a contextvar (thread- and task-safe) set around
+# each read's host-side work; any exception escaping the block gets the
+# context attached as a __notes__ line, and handlers can query it.
+
+import contextvars
+
+_read_ctx: contextvars.ContextVar[str] = contextvars.ContextVar(
+    "read_ctx", default=""
+)
+
+
+def current_read() -> str:
+    """The read-id context of the current thread/task ('' if none)."""
+    return _read_ctx.get()
+
+
+@contextlib.contextmanager
+def read_context(read_id: str):
+    """Tag this thread's work with a read id; exceptions escaping the block
+    carry `processing read [<id>]` as an exception note (the reference's
+    global_assert thread-local message, global_assert.hpp:21-25)."""
+    token = _read_ctx.set(read_id)
+    try:
+        yield
+    except Exception as e:
+        e.add_note(f"processing read [{read_id}]")
+        raise
+    finally:
+        _read_ctx.reset(token)
+
+
 class StageTimer:
     """Wall + process-CPU timing per pipeline stage."""
 

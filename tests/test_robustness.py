@@ -132,3 +132,19 @@ def test_log_facility_levels():
     # reset facility levels so other tests are unaffected
     logging.getLogger("Fast5_Summary").setLevel(logging.NOTSET)
     logging.getLogger("Viterbi").setLevel(logging.NOTSET)
+
+
+def test_read_context_annotates_exceptions():
+    """Per-read failure context (global_assert.hpp:21-25): exceptions
+    escaping a read's work carry the read id as an exception note."""
+    import pytest
+
+    from nanocall_tpu.observe import current_read, read_context
+
+    assert current_read() == ""
+    with pytest.raises(ValueError) as ei:
+        with read_context("read-42"):
+            assert current_read() == "read-42"
+            raise ValueError("boom")
+    assert any("read-42" in n for n in ei.value.__notes__)
+    assert current_read() == ""
