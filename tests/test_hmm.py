@@ -229,24 +229,6 @@ def test_grouped_batched_params(setup_k3):
         )
 
 
-def test_pallas_interpret_matches_grouped(setup_k3):
-    """Pallas fused kernels (interpret mode) == XLA grouped kernels."""
-    from nanocall_tpu.ops import pallas_viterbi as pv
-
-    K, st, pm, seqs = setup_k3
-    gt = hmm.make_grouped_trans(transitions.TransitionParams(), K)
-    model = hmm.make_model_arrays(*pm)
-    batch = events.pad_batch(seqs)
-    ref = hmm.viterbi_decode_grouped(gt, model, batch)
-    out = pv.viterbi_decode_pallas(gt, model, batch, interpret=True)
-    for b, ev in enumerate(seqs):
-        T = len(ev)
-        assert np.array_equal(
-            np.asarray(ref["path"])[b, :T], np.asarray(out["path"])[b, :T]
-        )
-    assert np.allclose(np.asarray(ref["logp"]), np.asarray(out["logp"]), rtol=1e-6)
-
-
 def test_fwbw_grouped_matches_slots(setup_k3):
     """Grouped log-sum-exp fwbw (closed-form corrections) == 21-slot fwbw."""
     K, st, pm, seqs = setup_k3
