@@ -30,7 +30,12 @@ from .transitions import TransitionParams
 
 log = logging.getLogger("nanocall")
 
-BP_MEM_BUDGET = 6 << 30  # backpointer HBM budget for decode buckets
+# Backpointer HBM budget for decode buckets.  The compiled decode program's
+# peak HBM is ~2.5x the bp tensor (XLA keeps the forward scan's ys buffer
+# plus the traceback scan's input copy): a 6.4GB bp chunk compiled to a 16GB
+# program and OOM'd the 15.75GB chip, while 4.3GB -> ~11GB fits.  4GB keeps
+# the peak near 10GB with headroom for in-flight pipelined chunk I/O.
+BP_MEM_BUDGET = 4 << 30
 
 
 # ---------------------------------------------------------------------------
