@@ -24,9 +24,12 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
-# measured once on this machine via baseline/cpu_nanocall (8 threads);
-# re-measure with --cpu
-CPU_BASELINE_EVENTS_PER_S = 14002.0
+# 4 cores x 4,136 events/s: the REAL compiled reference run-viterbi's
+# measured single-core rate (tools/baseline_spotcheck.py; near-linear to 2
+# cores), the stronger of the two baselines — the 8-thread stand-in
+# (baseline/cpu_nanocall.cpp, re-measure with --cpu) does 14.0k aggregate.
+# See BASELINE.md "Round-2 baseline spot-check".
+CPU_BASELINE_EVENTS_PER_S = 16500.0
 
 
 def sample_walk_events(pm, B: int, T: int, rng, p_stay=0.1, p_skip=0.3,
