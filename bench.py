@@ -164,7 +164,9 @@ def measure_e2e(n_reads: int, n_events: int, train: bool) -> dict:
 
         def run_once():
             t0 = time.time()
-            summaries = read_pipeline.summarize_many(files, models, cfg, workers=4)
+            # workers=1: threaded summarize is a GIL convoy on page-cached
+            # files (see summarize_many docstring)
+            summaries = read_pipeline.summarize_many(files, models, cfg, workers=1)
             t_sum = time.time() - t0
             if train:
                 basecall.train_reads(summaries, models, cfg)

@@ -221,11 +221,13 @@ def train_reads(summaries, models, cfg: Config) -> None:
                 ev, mdl, pm0, st0, em_cfg, caps=caps, fetch=False
             )
             pending.append((sub, out_dev))
-    # phase 2: fetch + scatter in dispatch order
+    # phase 2: fetch + scatter in dispatch order; one device_get across
+    # every bucket (each per-array host fetch is a full relay round trip)
     from .observe import read_context
 
-    for sub, out_dev in pending:
-        pm_f, st_f, fit, rounds = train.fetch_em_result(out_dev)
+    fetched = jax.device_get([out_dev for _, out_dev in pending])
+    for (sub, _), out_host in zip(pending, fetched):
+        pm_f, st_f, fit, rounds = train.fetch_em_result(out_host)
         for gi, grp in enumerate(sub):
             s = summaries[grp.read_idx]
             # per-read failure context (global_assert.hpp:21-25, set at
@@ -543,9 +545,13 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                     K=cfg.kmer_size, with_path=with_path,
                 )
             dispatched.append((sub, out))
-    for sub, out in dispatched:
-        logps = np.asarray(out["logp"])
-        paths = np.asarray(out["path"]) if with_path else None
+    # ONE device_get across every chunk: each host np.asarray is a full
+    # relay round trip (~30-75 ms measured), so fetching 2 arrays x N
+    # chunks sequentially costs seconds per pass at e2e scale
+    fetched = jax.device_get([out for _, out in dispatched])
+    for (sub, _), out in zip(dispatched, fetched):
+        logps = out["logp"]
+        paths = out["path"] if with_path else None
         for bi, t in enumerate(sub):
             t.logp = float(logps[bi])
             if with_path:

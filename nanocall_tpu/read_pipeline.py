@@ -319,9 +319,15 @@ def load_events(summary: ReadSummary, cfg: Config) -> list:
     )
 
 
-def summarize_many(files: list, models: dict, cfg: Config, workers: int = 4) -> list:
-    """Summarize reads with a small thread pool (HDF5 reads release the GIL
-    during I/O; order of the result matches `files`)."""
+def summarize_many(files: list, models: dict, cfg: Config, workers: int = 1) -> list:
+    """Summarize reads, optionally with a thread pool (result order matches
+    `files`).
+
+    Default is single-threaded: per-read summarize is ~4 ms of small
+    numpy/h5py calls that hold the GIL (h5py only releases it during actual
+    disk I/O, which page-cached files never hit), and measured threading is
+    a GIL convoy — 512 reads take 1.6 s at workers=1 vs 5.2 s at workers=4.
+    Raise `workers` only for slow/remote storage where I/O waits dominate."""
     from concurrent.futures import ThreadPoolExecutor
 
     if workers <= 1 or len(files) <= 1:
