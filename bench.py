@@ -203,7 +203,15 @@ def main():
     ap.add_argument("--e2e", action="store_true",
                     help="benchmark the full fast5->FASTA pipeline instead")
     ap.add_argument("--no-train", action="store_true")
+    ap.add_argument("--debug", action="store_true",
+                    help="debug logging (sub-stage pack/fetch timers)")
     args = ap.parse_args()
+    if args.debug:
+        import logging
+
+        logging.basicConfig(level=logging.DEBUG,
+                            format="%(name)s: %(levelname)s: %(message)s")
+        logging.getLogger("jax").setLevel(logging.WARNING)
 
     if args.e2e:
         res = measure_e2e(args.reads, args.events, train=not args.no_train)

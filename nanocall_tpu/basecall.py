@@ -203,6 +203,9 @@ def train_reads(summaries, models, cfg: Config) -> None:
     # phase 1: pack + dispatch every bucket without blocking (device EM of
     # chunk N overlaps host packing of chunk N+1 — pfor-style overlap,
     # nanocall.cpp:859-861, expressed as async dispatch)
+    import time as _time
+
+    t_pack0 = _time.time()
     pending = []
     for T, B, chunks in buckets:
         for chunk in chunks:
@@ -225,7 +228,13 @@ def train_reads(summaries, models, cfg: Config) -> None:
     # every bucket (each per-array host fetch is a full relay round trip)
     from .observe import read_context
 
+    t_fetch0 = _time.time()
     fetched = jax.device_get([out_dev for _, out_dev in pending])
+    log.debug(
+        "train_pass groups=%d buckets=%d pack_dispatch_s=%.2f fetch_s=%.2f",
+        len(groups), len(pending), t_fetch0 - t_pack0,
+        _time.time() - t_fetch0,
+    )
     for (sub, _), out_host in zip(pending, fetched):
         pm_f, st_f, fit, rounds = train.fetch_em_result(out_host)
         for gi, grp in enumerate(sub):
@@ -433,6 +442,9 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
     )
     # phase 1: pack + dispatch every chunk asynchronously; phase 2 below
     # fetches in order (device decode of chunk N overlaps packing of N+1)
+    import time as _time
+
+    t_pack0 = _time.time()
     dispatched = []
     for T, B, chunks in buckets:
         for chunk in chunks:
@@ -545,10 +557,16 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                     K=cfg.kmer_size, with_path=with_path,
                 )
             dispatched.append((sub, out))
+    t_fetch0 = _time.time()
     # ONE device_get across every chunk: each host np.asarray is a full
     # relay round trip (~30-75 ms measured), so fetching 2 arrays x N
     # chunks sequentially costs seconds per pass at e2e scale
     fetched = jax.device_get([out for _, out in dispatched])
+    log.debug(
+        "decode_pass with_path=%s tasks=%d chunks=%d pack_dispatch_s=%.2f "
+        "fetch_s=%.2f", with_path, len(tasks), len(dispatched),
+        t_fetch0 - t_pack0, _time.time() - t_fetch0,
+    )
     for (sub, _), out in zip(dispatched, fetched):
         logps = out["logp"]
         paths = out["path"] if with_path else None
