@@ -405,7 +405,8 @@ def _decode_chunk_grouped(rows, drifts, bank, model_idx, pm_params, stp,
         "length": lengths,
     }
     return hmm.viterbi_decode_grouped.__wrapped__(
-        gt, model, ev_batch, with_path=with_path
+        gt, model, ev_batch, with_path=with_path,
+        compact_path=with_path,  # halve the path fetch (relay-bound)
     )
 
 
@@ -543,7 +544,8 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                 }
                 gt, model, ev_batch = sharder.shard((gt, model, ev_batch), Bc)
                 out = hmm.viterbi_decode_grouped(
-                    gt, model, ev_batch, with_path=with_path
+                    gt, model, ev_batch, with_path=with_path,
+                    compact_path=with_path,
                 )
             else:
                 # grouped fast path, fully fused: stacking + device-side
@@ -567,12 +569,23 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
         "fetch_s=%.2f", with_path, len(tasks), len(dispatched),
         t_fetch0 - t_pack0, _time.time() - t_fetch0,
     )
+    from . import native
+
     for (sub, _), out in zip(dispatched, fetched):
         logps = out["logp"]
-        paths = out["path"] if with_path else None
+        compact = with_path and "codes" in out
+        paths = out.get("path") if with_path else None
         for bi, t in enumerate(sub):
             t.logp = float(logps[bi])
-            if with_path:
+            if compact:
+                # reconstruct the state path from the compact device
+                # encoding (exact; native scalar loop)
+                L = len(t.ev)
+                t.path = native.path_from_codes(
+                    int(out["path0"][bi]), out["codes"][bi, : max(L - 1, 0)],
+                    cfg.kmer_size,
+                )
+            elif with_path:
                 t.path = paths[bi, : len(t.ev)]
         if progress is not None:
             progress.add(len(sub))

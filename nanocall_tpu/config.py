@@ -58,7 +58,10 @@ class Config:
     # device batching: max padded events per decode bucket element and max
     # batch elements per bucket launch (memory control)
     bucket_max_batch: int = 256
-    train_group_batch: int = 64
+    # 128 groups x 4 seqs = 512 fwbw rows: the EM scan is iteration-latency
+    # bound at T=128, and 512 rows run at 1.89M events/s vs 1.04M at 256
+    # and 1.68M at 1024 (tools/exp_train.py sweep, PERFORMANCE.md)
+    train_group_batch: int = 128
     # parallel
     num_shards: int = 0  # 0 = use all local devices
 

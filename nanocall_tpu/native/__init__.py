@@ -48,6 +48,10 @@ def _load():
     lib.nc_base_seq.restype = ctypes.c_int64
     lib.nc_base_seq.argtypes = [c_i32p, c_i32p, ctypes.c_int64, ctypes.c_int32,
                                 ctypes.c_char_p]
+    if hasattr(lib, "nc_path_from_codes"):
+        lib.nc_path_from_codes.restype = None
+        lib.nc_path_from_codes.argtypes = [
+            ctypes.c_int32, c_u8p, ctypes.c_int64, ctypes.c_int32, c_i32p]
     _LIB = lib
     return _LIB
 
@@ -97,6 +101,34 @@ def filter_events(mean: np.ndarray, stdv: np.ndarray, level: float) -> np.ndarra
         )
         return keep.astype(bool)
     return (mean < level) & (stdv <= 4.0)
+
+
+def path_from_codes(s0: int, codes: np.ndarray, K: int) -> np.ndarray:
+    """Reconstruct the full (n,) int32 state path from the device's compact
+    traceback encoding (ops/hmm.py viterbi_traceback_grouped compact=True):
+    codes[t-1] = (move << 4) | (state_t & 15)."""
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = len(codes) + 1
+    path = np.empty(n, dtype=np.int32)
+    lib = _load()
+    if lib and hasattr(lib, "nc_path_from_codes"):
+        lib.nc_path_from_codes(
+            int(s0), codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+            K, path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return path
+    mask = (1 << (2 * K)) - 1
+    s = int(s0)
+    path[0] = s
+    for t in range(1, n):
+        c = int(codes[t - 1])
+        move = c >> 4
+        if move == 1:
+            s = ((s << 2) | (c & 0x3)) & mask
+        elif move == 2:
+            s = ((s << 4) | (c & 0xF)) & mask
+        path[t] = s
+    return path
 
 
 def moves_and_base_seq(path: np.ndarray, K: int):

@@ -112,6 +112,29 @@ void nc_moves(const int32_t* path, int64_t n, int32_t K, int32_t* moves) {
     }
 }
 
+// Reconstruct a full state path from the device's compact traceback codes
+// (ops/hmm.py viterbi_traceback_grouped compact=True): path[0] = s0,
+// codes[t-1] = (move << 4) | (state_t & 15), move 0 = stay, 1 = step
+// (shift in 1 base), 2 = skip (shift in 2 bases).  n = path length
+// (= len(codes) + 1).
+void nc_path_from_codes(int32_t s0, const uint8_t* codes, int64_t n,
+                        int32_t K, int32_t* path) {
+    if (n == 0) return;
+    uint32_t mask = (1u << (2 * K)) - 1;
+    uint32_t s = (uint32_t)s0;
+    path[0] = (int32_t)s;
+    for (int64_t t = 1; t < n; ++t) {
+        uint8_t c = codes[t - 1];
+        int32_t move = c >> 4;
+        if (move == 1) {
+            s = ((s << 2) | (c & 0x3)) & mask;
+        } else if (move == 2) {
+            s = ((s << 4) | (c & 0xf)) & mask;
+        }
+        path[t] = (int32_t)s;
+    }
+}
+
 // Base-sequence assembly (Event.hpp:85-99): out must hold n*K+1 bytes;
 // returns the sequence length.
 int64_t nc_base_seq(const int32_t* path, const int32_t* moves, int64_t n,

@@ -406,11 +406,19 @@ def grouped_from_state(bp: jax.Array, j: jax.Array, K: int) -> jax.Array:
 
 
 def viterbi_traceback_grouped(gt: GroupedTrans, final_alpha, bps, lengths,
-                              unroll: int = 8):
+                              unroll: int = 8, compact: bool = False):
     """Traceback for the grouped bp encoding; bps has T-1 rows (event t's
     backpointers at bps[t-1]).  The scan body is tiny (one masked (B, n)
     reduction), so the sequential loop is iteration-latency-bound —
-    unrolling amortizes the per-iteration overhead."""
+    unrolling amortizes the per-iteration overhead.
+
+    compact=False: returns (path (B, T) uint16 states, logp (B,)).
+    compact=True: returns (path0 (B,) int32, codes (B, T-1) uint8, logp) —
+    codes[t-1] = (move << 4) | (state_t & 15) with move in {0 stay, 1 step,
+    2 skip}; the full state path reconstructs losslessly from path0 by
+    shifting in the low bases per move (native.path_from_codes), at HALF
+    the device->host transfer of uint16 states.  Entries at t >= length
+    encode stay, reproducing the full path's clamped suffix exactly."""
     Tm, B, n = bps.shape
     K = gt.K
     end_state = jnp.argmax(final_alpha, axis=-1).astype(jnp.int32)
@@ -421,33 +429,49 @@ def viterbi_traceback_grouped(gt: GroupedTrans, final_alpha, bps, lengths,
         s_eff = jnp.where(t == lengths - 1, end_state, s)
         k = _lookup_bp(bp_t, s_eff)
         s_prev = grouped_from_state(k.astype(jnp.uint8), s_eff, K)
-        s_new = jnp.where(t <= lengths - 1, s_prev, s_eff)
+        real = t <= lengths - 1
+        s_new = jnp.where(real, s_prev, s_eff)
+        if compact:
+            move = (k >> 6).astype(jnp.int32)
+            code = jnp.where(real, (move << 4) | (s_eff & 15), 0)
+            return s_new, code.astype(jnp.uint8)
         return s_new, s_eff.astype(jnp.uint16)
 
     # reverse=True: no reversed copy of the multi-GB bp tensor; forward-
     # order ys are the path at t = 1..T-1, and the final carry is the
     # state at t = 0
     xs = (bps, jnp.arange(1, Tm + 1))
-    s0, path_rest = jax.lax.scan(step, end_state, xs, reverse=True,
-                                 unroll=unroll)
-    path = jnp.concatenate([s0[None].astype(jnp.uint16), path_rest], axis=0)
+    s0, ys = jax.lax.scan(step, end_state, xs, reverse=True,
+                          unroll=unroll)
+    if compact:
+        return s0, jnp.moveaxis(ys, 0, 1), path_logp
+    path = jnp.concatenate([s0[None].astype(jnp.uint16), ys], axis=0)
     return jnp.moveaxis(path, 0, 1), path_logp
 
 
 @functools.partial(
-    jax.jit, static_argnames=("with_path", "fwd_unroll", "tb_unroll")
+    jax.jit,
+    static_argnames=("with_path", "fwd_unroll", "tb_unroll", "compact_path"),
 )
 def viterbi_decode_grouped(gt: GroupedTrans, model: ModelArrays, ev: dict,
                            with_path: bool = True, fwd_unroll: int = 2,
-                           tb_unroll: int = 8):
+                           tb_unroll: int = 8, compact_path: bool = False):
     """Fast-path Viterbi decode on the grouped decomposition (standard
     stay/step/skip structured transitions only).
 
     fwd_unroll=2 default: measured 1.9x faster forward+bp on TPU than
-    unroll=1 (107ms vs 205ms at B=256, T=4096; PERFORMANCE.md)."""
+    unroll=1 (107ms vs 205ms at B=256, T=4096; PERFORMANCE.md).
+
+    compact_path=True returns {path0, codes, logp} instead of the full
+    uint16 state path (see viterbi_traceback_grouped; halves the host
+    transfer, reconstruct with native.path_from_codes)."""
     final_alpha, bps = viterbi_forward_grouped(gt, model, ev, unroll=fwd_unroll)
     if not with_path:
         return {"logp": jnp.max(final_alpha, axis=-1)}
+    if compact_path:
+        path0, codes, logp = viterbi_traceback_grouped(
+            gt, final_alpha, bps, ev["length"], unroll=tb_unroll, compact=True)
+        return {"path0": path0, "codes": codes, "logp": logp}
     path, logp = viterbi_traceback_grouped(gt, final_alpha, bps, ev["length"],
                                            unroll=tb_unroll)
     return {"path": path, "logp": logp}
@@ -745,7 +769,11 @@ def fwbw_grouped(gtf: GroupedTransFull, model: ModelArrays, ev: dict,
     xs = (means[1:], stdvs[1:], log_stdvs[1:], jnp.arange(1, T))
     # unroll measured a wash here (31.5/33.2/31.3 ms at u=1/2/4, B=256
     # T=128: the exp/log-heavy body is compute-bound, unlike the Viterbi
-    # forward) — default 1 keeps the compiled program small
+    # forward), and on TPU the unrolled program's fusion reassociates the
+    # lse accumulation (log_pr_data differs in low bits vs unroll=1 —
+    # measured) — default 1 keeps results bit-stable AND the program small.
+    # (Viterbi's max-plus scan has no such drift: path equality across
+    # unroll variants is hardware-verified in tools/exp_decode.py.)
     final_alpha, (alphas_rest, ems_rest) = jax.lax.scan(
         fwd_step, alpha0, xs, unroll=unroll)
     alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)

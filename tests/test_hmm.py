@@ -251,3 +251,54 @@ def test_fwbw_grouped_matches_slots(setup_k3):
     assert np.allclose(
         np.asarray(ref["log_pr_data"]), np.asarray(out["log_pr_data"]), atol=2e-3
     )
+
+
+def test_compact_path_equals_full(setup_k3):
+    """The compact (move, low-bases) traceback encoding must reconstruct
+    the full state path exactly, padded suffix included, for ragged
+    lengths."""
+    from nanocall_tpu import native
+
+    K, st, pm, seqs = setup_k3
+    gt = hmm.make_grouped_trans(transitions.TransitionParams(), K)
+    model = hmm.make_model_arrays(*pm)
+    batch = events.pad_batch(seqs)
+    full = hmm.viterbi_decode_grouped(gt, model, batch)
+    comp = hmm.viterbi_decode_grouped(gt, model, batch, compact_path=True)
+    assert np.allclose(np.asarray(full["logp"]), np.asarray(comp["logp"]))
+    p0 = np.asarray(comp["path0"])
+    codes = np.asarray(comp["codes"])
+    for b in range(len(seqs)):
+        rec = native.path_from_codes(int(p0[b]), codes[b], K)
+        assert np.array_equal(rec, np.asarray(full["path"])[b].astype(np.int32))
+
+
+def test_compact_path_equals_full_ties():
+    """Compact encoding under adversarial emission ties (K=4)."""
+    from nanocall_tpu import native
+
+    K = 4
+    n = kmer.n_states(K)
+    rng = np.random.default_rng(9)
+    gt = hmm.make_grouped_trans(transitions.TransitionParams(), K)
+    base = rng.uniform(40, 90, 4).astype(np.float32)
+    model = hmm.make_model_arrays(
+        base[rng.integers(4, size=n)].astype(np.float32),
+        np.full(n, 1.0, np.float32),
+        np.full(n, 1.0, np.float32),
+        np.full(n, 5.0, np.float32),
+    )
+    T = 48
+    seq = events.EventSequence(
+        mean=base[rng.integers(4, size=T)],
+        stdv=np.full(T, 1.0),
+        start=np.cumsum(np.full(T, 0.02)),
+        length=np.full(T, 0.02),
+    )
+    batch = events.pad_batch([seq])
+    full = hmm.viterbi_decode_grouped(gt, model, batch)
+    comp = hmm.viterbi_decode_grouped(gt, model, batch, compact_path=True)
+    rec = native.path_from_codes(
+        int(np.asarray(comp["path0"])[0]), np.asarray(comp["codes"])[0], K
+    )
+    assert np.array_equal(rec, np.asarray(full["path"])[0].astype(np.int32))

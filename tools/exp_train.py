@@ -25,7 +25,9 @@ from nanocall_tpu import transitions  # noqa: E402
 from nanocall_tpu.models import load_builtin_models  # noqa: E402
 from nanocall_tpu.ops import hmm  # noqa: E402
 
-B, T = 256, 128
+import os
+B = int(os.environ.get("EXPB", 256))
+T = 128
 N_ITER = 8
 
 models = load_builtin_models("r73")
