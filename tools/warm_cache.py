@@ -6,6 +6,11 @@ program shape through its remote-compile service; AOT .lower().compile()
 returns fast but does NOT warm the real path).  This runs each standard
 pipeline program once on tiny data so subsequent runs start fast.
 
+Shapes are derived from the SAME sizing functions production uses
+(batching.batch_size_for with basecall.BP_MEM_BUDGET), and the fused
+production chunk program (basecall._decode_chunk_grouped) is executed in
+addition to the direct decode entry point the bench uses.
+
 Run once per machine: python tools/warm_cache.py [--quick]
 """
 
@@ -23,7 +28,9 @@ def main():
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
 
-    from nanocall_tpu import train  # noqa: E402
+    import jax.numpy as jnp  # noqa: E402
+
+    from nanocall_tpu import basecall, batching, kmer, train  # noqa: E402
     from nanocall_tpu.models import load_builtin_models  # noqa: E402
     from nanocall_tpu.observe import enable_compilation_cache  # noqa: E402
     from nanocall_tpu.ops import hmm  # noqa: E402
@@ -31,21 +38,26 @@ def main():
     enable_compilation_cache()
     models = load_builtin_models("r73")
     m = models["r73.t.006"]
+    n = kmer.n_states(6)
     rng = np.random.default_rng(0)
 
-    def run_decode(B, T, with_path):
-        t0 = time.time()
-        gt = hmm.make_grouped_trans_device(
-            np.full(B, 0.1, np.float32), np.full(B, 0.3, np.float32), K=6
-        )
-        bank = {
+    def bank_of(B):
+        return {
             "level_mean": np.tile(m.level_mean, (4, 1)),
             "level_stdv": np.tile(m.level_stdv, (4, 1)),
             "sd_mean": np.tile(m.sd_mean, (4, 1)),
             "sd_lambda": np.tile(m.sd_lambda, (4, 1)),
         }
+
+    def run_decode(B, T, with_path):
+        """The bench/direct entry point (viterbi_decode_grouped)."""
+        t0 = time.time()
+        gt = hmm.make_grouped_trans_device(
+            np.full(B, 0.1, np.float32), np.full(B, 0.3, np.float32), K=6
+        )
         params = np.tile(np.array([1, 0, 0, 1, 1, 1], np.float32), (B, 1))
-        model = hmm.make_scaled_model_arrays(bank, np.zeros(B, np.int32), params)
+        model = hmm.make_scaled_model_arrays(bank_of(B), np.zeros(B, np.int32),
+                                             params)
         stdv = rng.uniform(0.5, 1.5, (B, T)).astype(np.float32)
         ev = {"mean": rng.uniform(40, 90, (B, T)).astype(np.float32),
               "stdv": stdv, "log_stdv": np.log(stdv),
@@ -55,9 +67,32 @@ def main():
         print(f"decode B={B} T={T} path={with_path}: {time.time()-t0:.0f}s",
               flush=True)
 
-    def run_train(drift):
+    def run_chunk(B, T, with_path):
+        """The fused production chunk program (basecall._decode_chunk_grouped,
+        compact paths)."""
         t0 = time.time()
-        G, S, T = 64, 4, 128
+        row = {
+            "mean": jnp.asarray(rng.uniform(40, 90, T).astype(np.float32)),
+            "stdv": jnp.asarray(np.ones(T, np.float32)),
+            "log_stdv": jnp.asarray(np.zeros(T, np.float32)),
+            "start": jnp.asarray(
+                np.cumsum(np.full(T, 0.02, np.float32))),
+        }
+        rows = tuple([row] * B)
+        bank = {k: jnp.asarray(v) for k, v in bank_of(B).items()}
+        params = np.tile(np.array([1, 0, 0, 1, 1, 1], np.float32), (B, 1))
+        out = basecall._decode_chunk_grouped(
+            rows, jnp.zeros(B, jnp.float32), bank, np.zeros(B, np.int32),
+            params, np.full((B, 2), [0.1, 0.3], np.float32),
+            np.full(B, T, np.int32), K=6, with_path=with_path,
+        )
+        np.asarray(out["logp"])
+        print(f"chunk B={B} T={T} path={with_path}: {time.time()-t0:.0f}s",
+              flush=True)
+
+    def run_train(G, drift):
+        t0 = time.time()
+        S, T = 4, 128
         stdv = rng.uniform(0.5, 1.5, (G, S, T)).astype(np.float32)
         ev = {"mean": rng.uniform(40, 90, (G, S, T)).astype(np.float32),
               "stdv": stdv, "log_stdv": np.log(stdv),
@@ -80,17 +115,23 @@ def main():
             cfg = train.EMConfig(max_rounds=10, double_strand=ds,
                                  train_drift=drift)
             train.run_em(ev, mdl, pm0, st0, cfg)
-        print(f"train drift={drift}: {time.time()-t0:.0f}s", flush=True)
+        print(f"train G={G} drift={drift}: {time.time()-t0:.0f}s", flush=True)
 
-    shapes = [(256, 4096, True), (256, 4096, False)]
+    # decode shapes: the production batch-size quantization is {8, 64, cap}
+    # per bucket T (batching.make_buckets)
+    Ts = [4096] if args.quick else [2048, 4096, 6144, 8192, 10240]
+    for T in Ts:
+        cap = batching.batch_size_for(T, 256, basecall.BP_MEM_BUDGET, n)
+        Bs = [cap] if args.quick else sorted({8, 64, cap})
+        for B in Bs:
+            for wp in (True, False):
+                run_decode(B, T, wp)
+                run_chunk(B, T, wp)
+    G = 128  # cfg.train_group_batch
+    run_train(G, True)
     if not args.quick:
-        for T in (2048, 4096, 6144, 8192, 10240):
-            for B in (8, 64):
-                shapes += [(B, T, True), (B, T, False)]
-    for B, T, wp in shapes:
-        run_decode(B, T, wp)
-    run_train(True)
-    run_train(False)
+        run_train(G, False)
+        run_train(8, True)  # small-tail bucket
     print("cache warm done")
 
 
