@@ -200,59 +200,107 @@ def train_reads(summaries, models, cfg: Config) -> None:
     buckets = batching.make_buckets(
         lengths, cfg.train_group_batch, BP_MEM_BUDGET, kmer.n_states(cfg.kmer_size)
     )
-    # phase 1: pack + dispatch every bucket without blocking (device EM of
-    # chunk N overlaps host packing of chunk N+1 — pfor-style overlap,
-    # nanocall.cpp:859-861, expressed as async dispatch)
+    # dispatch phase: pack + dispatch every bucket without blocking (device
+    # EM of chunk N overlaps host packing of chunk N+1 — pfor-style overlap,
+    # nanocall.cpp:859-861, expressed as async dispatch).  Two-phase EM
+    # (cfg.em_phase1_rounds): a chunk's device time is max(rounds) over its
+    # G groups, so pass 1 runs EVERY group a few rounds and pass 2 repacks
+    # only the still-unconverged stragglers (usually a small fraction) into
+    # fresh chunks and resumes their exact per-group carry (train.run_em
+    # state0) — trajectory-identical to one uninterrupted run.
     import time as _time
 
+    from .observe import read_context
+
     t_pack0 = _time.time()
+
+    def dispatch(sub_groups, pad_T, pad_B, states, limit):
+        real_flags = [g.joint for g in sub_groups]
+        # per-candidate round caps (nanocall.cpp:420 vs :536): joint
+        # candidates get 2x max_rounds, single-strand 1x, independently
+        # within a mixed chunk; padding rows inherit the chunk max so
+        # they never raise the static loop bound on their own
+        joint_flags = real_flags + [any(real_flags)] * (pad_B - len(sub_groups))
+        caps = em_cfg.caps(joint_flags)
+        ev, mdl, pm0, st0 = pack_train_batch(
+            sub_groups, summaries, models, cfg, pad_T=pad_T, pad_G=pad_B
+        )
+        fit0 = np.full(pad_B, -np.inf, np.float32)
+        frozen0 = np.arange(pad_B) >= len(sub_groups)  # padding starts frozen
+        rounds0 = np.zeros(pad_B, np.int32)
+        for gi, st in enumerate(states):
+            if st is not None:
+                fit0[gi], _, rounds0[gi] = st
+        return train.run_em(
+            ev, mdl, pm0, st0, em_cfg, caps=caps, fetch=False,
+            state0=(fit0, frozen0, rounds0), round_limit=limit,
+        )
+
+    def scatter(grp, pm_row, st_row, fit_g, rounds_g, final):
+        s = summaries[grp.read_idx]
+        # per-read failure context (global_assert.hpp:21-25, set at
+        # nanocall.cpp:295)
+        with read_context(s.read_id):
+            s.pm_params[grp.key] = PoreModelParams.from_array(pm_row)
+            s.st_params[grp.key] = [
+                TransitionParams(float(st_row[st, 0]), float(st_row[st, 1]))
+                for st in (0, 1)
+            ]
+            if final:
+                s.fits[grp.key] = float(fit_g)
+                log.info(
+                    "scaling_result read [%s] model [%s] pm_params [%s] "
+                    "fit [%g] rounds [%d]",
+                    s.read_id, "+".join(n for n in grp.key if n),
+                    s.pm_params[grp.key], fit_g, rounds_g,
+                )
+
+    phase1 = cfg.em_phase1_rounds or None
     pending = []
     for T, B, chunks in buckets:
         for chunk in chunks:
             sub = [groups[i] for i in chunk]
-            # per-candidate round caps (nanocall.cpp:420 vs :536): joint
-            # candidates get 2x max_rounds, single-strand 1x, independently
-            # within a mixed chunk; padding rows inherit the chunk max so
-            # they never raise the static loop bound on their own
-            real_flags = [g.joint for g in sub]
-            joint_flags = real_flags + [any(real_flags)] * (B - len(sub))
-            caps = em_cfg.caps(joint_flags)
-            ev, mdl, pm0, st0 = pack_train_batch(
-                sub, summaries, models, cfg, pad_T=T, pad_G=B
-            )
-            out_dev = train.run_em(
-                ev, mdl, pm0, st0, em_cfg, caps=caps, fetch=False
-            )
-            pending.append((sub, out_dev))
-    # phase 2: fetch + scatter in dispatch order; one device_get across
-    # every bucket (each per-array host fetch is a full relay round trip)
-    from .observe import read_context
-
+            out_dev = dispatch(sub, T, B, [None] * len(sub), phase1)
+            pending.append((sub, T, out_dev))
+    # fetch + scatter in dispatch order; one device_get across every bucket
+    # (each per-array host fetch is a full relay round trip)
     t_fetch0 = _time.time()
-    fetched = jax.device_get([out_dev for _, out_dev in pending])
-    log.debug(
-        "train_pass groups=%d buckets=%d pack_dispatch_s=%.2f fetch_s=%.2f",
-        len(groups), len(pending), t_fetch0 - t_pack0,
-        _time.time() - t_fetch0,
-    )
-    for (sub, _), out_host in zip(pending, fetched):
-        pm_f, st_f, fit, rounds = train.fetch_em_result(out_host)
+    fetched = jax.device_get([out_dev for _, _, out_dev in pending])
+    leftovers = []  # (group, (fit, frozen, rounds) carry, T)
+    for (sub, T, _), out_host in zip(pending, fetched):
+        pm_f, st_f, fit, rounds, frozen = train.fetch_em_result(out_host)
         for gi, grp in enumerate(sub):
-            s = summaries[grp.read_idx]
-            # per-read failure context (global_assert.hpp:21-25, set at
-            # nanocall.cpp:295)
-            with read_context(s.read_id):
-                s.pm_params[grp.key] = PoreModelParams.from_array(pm_f[gi])
-                s.st_params[grp.key] = [
-                    TransitionParams(float(st_f[gi, st, 0]), float(st_f[gi, st, 1]))
-                    for st in (0, 1)
-                ]
-                s.fits[grp.key] = float(fit[gi])
-                log.info(
-                    "scaling_result read [%s] model [%s] pm_params [%s] fit [%g] rounds [%d]",
-                    s.read_id, "+".join(n for n in grp.key if n),
-                    s.pm_params[grp.key], fit[gi], rounds[gi],
+            scatter(grp, pm_f[gi], st_f[gi], fit[gi], rounds[gi],
+                    final=bool(frozen[gi]) or phase1 is None)
+            if phase1 is not None and not frozen[gi]:
+                leftovers.append(
+                    (grp, (fit[gi], False, rounds[gi]), T)
                 )
+    t_p2 = _time.time()
+    if leftovers:
+        buckets2 = batching.make_buckets(
+            [T for _, _, T in leftovers], cfg.train_group_batch,
+            BP_MEM_BUDGET, kmer.n_states(cfg.kmer_size),
+        )
+        pending2 = []
+        for T, B, chunks in buckets2:
+            for chunk in chunks:
+                entries = [leftovers[i] for i in chunk]
+                sub = [e[0] for e in entries]
+                out_dev = dispatch(sub, T, B, [e[1] for e in entries], None)
+                pending2.append((sub, out_dev))
+        fetched2 = jax.device_get([out_dev for _, out_dev in pending2])
+        for (sub, _), out_host in zip(pending2, fetched2):
+            pm_f, st_f, fit, rounds, frozen = train.fetch_em_result(out_host)
+            for gi, grp in enumerate(sub):
+                scatter(grp, pm_f[gi], st_f[gi], fit[gi], rounds[gi],
+                        final=True)
+    log.debug(
+        "train_pass groups=%d buckets=%d stragglers=%d pack_dispatch_s=%.2f "
+        "p1_fetch_s=%.2f p2_s=%.2f",
+        len(groups), len(pending), len(leftovers), t_fetch0 - t_pack0,
+        t_p2 - t_fetch0, _time.time() - t_p2,
+    )
     _select_models(summaries, cfg)
 
 

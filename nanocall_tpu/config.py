@@ -62,6 +62,11 @@ class Config:
     # bound at T=128, and 512 rows run at 1.89M events/s vs 1.04M at 256
     # and 1.68M at 1024 (tools/exp_train.py sweep, PERFORMANCE.md)
     train_group_batch: int = 128
+    # two-phase EM: run every group this many rounds, then repack only the
+    # still-unconverged groups and continue (a chunk otherwise waits on its
+    # slowest group's round count; trajectory-identical — train.run_em
+    # state0).  0 = single phase.
+    em_phase1_rounds: int = 6
     # parallel
     num_shards: int = 0  # 0 = use all local devices
 

@@ -455,6 +455,9 @@ def run_em_device(
     st_params0,
     min_progress,
     caps,
+    fit0,
+    frozen0,
+    rounds0,
     K: int = 6,
     train_drift: bool = True,
     train_scaling: bool = True,
@@ -474,9 +477,18 @@ def run_em_device(
     loop bound (= max cap).  One dispatch per bucket (host-driven per-round
     stepping costs ~0.5s of relay latency per round).
 
-    Returns (pm_params (G,6), st_params (G,2,2), fit (G,), rounds (G,)).
+    (fit0, frozen0, rounds0) is the per-group loop carry, so a run can be
+    SPLIT across dispatches: run with a small max_rounds, repack only the
+    still-unfrozen groups, and resume them with the fetched carry — the
+    trajectory is identical to one uninterrupted run because every stopping
+    rule reads only this per-group state (two-phase EM: a whole chunk
+    otherwise waits on its slowest group's round count).  Pass -inf/False/0
+    for a fresh start; padding rows should pass frozen0=True so they never
+    hold the all-frozen early exit open.
+
+    Returns (pm_params (G,6), st_params (G,2,2), fit (G,), rounds (G,),
+    frozen (G,)).
     """
-    G = pm_params0.shape[0]
 
     def body(carry):
         pm, st, fit_prev, frozen, rounds, round_no = carry
@@ -508,25 +520,27 @@ def run_em_device(
     init = (
         jnp.asarray(pm_params0, jnp.float32),
         jnp.asarray(st_params0, jnp.float32),
-        jnp.full(G, -jnp.inf, jnp.float32),
-        jnp.zeros(G, bool),
-        jnp.zeros(G, jnp.int32),
+        jnp.asarray(fit0, jnp.float32),
+        jnp.asarray(frozen0, bool),
+        jnp.asarray(rounds0, jnp.int32),
         jnp.int32(0),
     )
     pm, st, fit, frozen, rounds, _ = jax.lax.while_loop(cond, body, init)
-    return pm, st, fit, rounds
+    return pm, st, fit, rounds, frozen
 
 
 def fetch_em_result(out):
     """Block on and convert a fetch=False run_em result."""
-    pm, st, fit, rounds = jax.device_get(out)
+    pm, st, fit, rounds, frozen = jax.device_get(out)
     return (np.asarray(pm), np.asarray(st),
-            np.asarray(fit, np.float64), np.asarray(rounds))
+            np.asarray(fit, np.float64), np.asarray(rounds),
+            np.asarray(frozen, bool))
 
 
 def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarray,
            cfg: EMConfig, n_shards: int = 0, device_loop: bool = True,
-           caps: np.ndarray | None = None, fetch: bool = True):
+           caps: np.ndarray | None = None, fetch: bool = True,
+           state0: tuple | None = None, round_limit: int | None = None):
     """Run the full EM loop for a bucket of G training groups.
 
     Implements the reference's per-candidate stopping rules
@@ -544,7 +558,14 @@ def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarra
     without blocking, so callers can dispatch every bucket before fetching
     any (host packing of bucket N+1 overlaps device EM of bucket N).
 
-    Returns (pm_params (G,6), st_params (G,2,2), fit (G,), rounds (G,)).
+    state0=(fit, frozen, rounds) resumes a previous run's per-group carry
+    (see run_em_device: a split run is trajectory-identical to an
+    uninterrupted one); round_limit caps THIS call's rounds (static loop
+    bound) without changing the per-group caps — together they implement
+    two-phase EM (run everyone a few rounds, repack the stragglers).
+
+    Returns (pm_params (G,6), st_params (G,2,2), fit (G,), rounds (G,),
+    frozen (G,)).
     """
     G = pm_params0.shape[0]
     if caps is None:
@@ -555,6 +576,17 @@ def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarra
     # nanocall.cpp:420,536), so even --scaling-max-rounds 0 trains one round
     caps = np.maximum(np.asarray(caps, np.int32), 1)
     max_rounds = int(caps.max()) if G else 0
+    if round_limit is not None:
+        max_rounds = min(max_rounds, int(round_limit))
+    if state0 is None:
+        fit0 = np.full(G, -np.inf, np.float32)
+        frozen0 = np.zeros(G, bool)
+        rounds0 = np.zeros(G, np.int32)
+    else:
+        fit0, frozen0, rounds0 = state0
+        fit0 = np.asarray(fit0, np.float32)
+        frozen0 = np.asarray(frozen0, bool)
+        rounds0 = np.asarray(rounds0, np.int32)
     if device_loop:
         from .parallel.mesh import DataSharder
 
@@ -568,6 +600,7 @@ def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarra
             np.asarray(st_params0, np.float32),
             np.float32(cfg.min_progress),
             caps,
+            fit0, frozen0, rounds0,
             K=cfg.K, train_drift=cfg.train_drift,
             train_scaling=cfg.train_scaling,
             train_transitions=cfg.train_transitions,
@@ -584,9 +617,9 @@ def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarra
         models = sharder.shard(models, G)
     crt_pm = np.asarray(pm_params0, dtype=np.float32).copy()
     crt_st = np.asarray(st_params0, dtype=np.float32).copy()
-    crt_fit = np.full(G, -np.inf, dtype=np.float64)
-    rounds = np.zeros(G, dtype=np.int32)
-    frozen = np.zeros(G, dtype=bool)
+    crt_fit = np.asarray(fit0, dtype=np.float64).copy()
+    rounds = rounds0.copy()
+    frozen = frozen0.copy()
 
     round_no = 0
     while not frozen.all() and round_no < max_rounds:
@@ -624,4 +657,4 @@ def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarra
         no_progress = advance & (rounds > 1) & (crt_fit < old_fit + cfg.min_progress)
         frozen |= no_progress
         round_no += 1
-    return crt_pm, crt_st, crt_fit, rounds
+    return crt_pm, crt_st, crt_fit, rounds, frozen

@@ -204,3 +204,34 @@ def test_custom_transitions_file(sim_dir, tmp_path):
         str(d), "-o", str(out2), "--no-train", "--1d", "-s", str(trans_path),
     ]) == 0
     assert out1.read_text() == out2.read_text()
+
+
+def test_two_phase_em_matches_single_phase(sim_dir, models):
+    """cfg.em_phase1_rounds (straggler repacking) must not change trained
+    parameters, fits, round counts, or the final FASTA vs a single-phase
+    run — phase splitting only re-chunks the same per-group trajectories."""
+    import dataclasses as _dc
+
+    d, _ = sim_dir
+    files = read_pipeline.init_files([str(d)])
+
+    def run(phase1):
+        cfg = Config(em_phase1_rounds=phase1).apply_pore_preset()
+        summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
+        basecall.train_reads(summaries, models, cfg)
+        results = basecall.basecall_reads(summaries, models, cfg)
+        params = {
+            (s.read_id, k): (s.pm_params[k].as_array().tolist(),
+                             round(s.fits[k], 4))
+            for s in summaries for k in s.fits
+        }
+        return params, [(r.seq_name, r.base_seq) for r in results]
+
+    params1, fasta1 = run(0)   # single phase
+    params2, fasta2 = run(1)   # aggressive split: repack after 1 round
+    assert params1.keys() == params2.keys()
+    for k in params1:
+        a, b = params1[k], params2[k]
+        assert np.allclose(a[0], b[0], rtol=1e-5, atol=1e-5), (k, a, b)
+        assert abs(a[1] - b[1]) < 1e-2, (k, a, b)
+    assert fasta1 == fasta2

@@ -161,7 +161,7 @@ def test_em_recovers_scaling():
 
     ev, mdl, pm_arr, st_arr = build_train_batch([seqs], models, [pm0], st0)
     cfg = train.EMConfig(K=K, train_drift=False, double_strand=False)
-    pm_f, st_f, fit, rounds = train.run_em(ev, mdl, pm_arr, st_arr, cfg)
+    pm_f, st_f, fit, rounds, _ = train.run_em(ev, mdl, pm_arr, st_arr, cfg)
     assert rounds[0] >= 1
     assert abs(pm_f[0, 0] - true.scale) < 0.08, pm_f[0]
     assert abs(pm_f[0, 1] - true.shift) < 4.0, pm_f[0]
@@ -226,7 +226,7 @@ def test_em_recovers_transition_params():
     ev, mdl, pm_arr, st_arr = build_train_batch([seqs], models, [pm0], st0)
     cfg = train.EMConfig(K=K, train_drift=False, double_strand=False,
                          train_scaling=False, max_rounds=8, min_progress=0.0)
-    pm_f, st_f, fit, rounds = train.run_em(ev, mdl, pm_arr, st_arr, cfg)
+    pm_f, st_f, fit, rounds, _ = train.run_em(ev, mdl, pm_arr, st_arr, cfg)
     p_stay, p_skip = float(st_f[0, 0, 0]), float(st_f[0, 0, 1])
     # moved decisively toward the generating kinetics
     assert p_stay > 0.2, p_stay
@@ -261,7 +261,7 @@ def test_mixed_joint_single_round_caps():
 
     ev, mdl, pm_arr, st_arr = build_train_batch(groups, models, pm0, st0)
     for device_loop in (True, False):
-        pm_f, st_f, fit, rounds = train.run_em(
+        pm_f, st_f, fit, rounds, _ = train.run_em(
             ev, mdl, pm_arr, st_arr, cfg, device_loop=device_loop, caps=caps
         )
         # the single-strand candidate must not exceed its own cap
@@ -272,7 +272,7 @@ def test_mixed_joint_single_round_caps():
                 [groups[g]], models, [pm0[g]], [st0[g]]
             )
             c1 = dataclasses.replace(cfg, double_strand=joint[g])
-            pm_i, st_i, fit_i, rounds_i = train.run_em(
+            pm_i, st_i, fit_i, rounds_i, _ = train.run_em(
                 ev1, mdl1, pm1, st1, c1, device_loop=device_loop
             )
             assert rounds[g] == rounds_i[0], (g, rounds, rounds_i)
@@ -299,7 +299,80 @@ def test_device_em_loop_matches_host_loop():
     host = train.run_em(ev, mdl, pm_arr, st_arr, cfg, device_loop=False)
     # loop-body fusion changes float rounding slightly vs the host-stepped
     # path; semantics (rounds, convergence target) must agree
-    for a, b, name in zip(dev, host, ("pm", "st", "fit", "rounds")):
+    for a, b, name in zip(dev, host, ("pm", "st", "fit", "rounds", "frozen")):
         assert np.allclose(np.asarray(a, np.float64), np.asarray(b, np.float64),
                            rtol=5e-3, atol=2e-2), (name, a, b)
     assert np.array_equal(dev[3], host[3])  # same per-group round counts
+
+
+def test_two_phase_em_resume_identical():
+    """Splitting the EM loop (run round_limit rounds, then resume the
+    still-unfrozen groups from the fetched (fit, frozen, rounds) carry)
+    must be trajectory-identical to one uninterrupted run — this is the
+    exactness contract of the two-phase straggler repacking in
+    basecall.train_reads."""
+    rng = np.random.default_rng(43)
+    models = make_models(rng)
+    groups = []
+    for i in range(4):
+        groups.append([
+            (sample_events(models[0], 40, rng, scale=1.1, shift=2.0), 0),
+            (sample_events(models[1], 35, rng, scale=1.1, shift=2.0), 1),
+        ])
+    pm0 = [pore_model.PoreModelParams(scale=1.0, shift=1.0)] * 4
+    st0 = [[[0.1, 0.3], [0.1, 0.3]]] * 4
+    ev, mdl, pm_arr, st_arr = build_train_batch(groups, models, pm0, st0)
+    cfg = train.EMConfig(K=K, train_drift=False, double_strand=True,
+                         max_rounds=4, min_progress=-1e9)
+
+    full = train.run_em(ev, mdl, pm_arr, st_arr, cfg)
+    for split in (1, 2, 3):
+        p1 = train.run_em(ev, mdl, pm_arr, st_arr, cfg, round_limit=split)
+        pm1, st1, fit1, rounds1, frozen1 = p1
+        p2 = train.run_em(
+            ev, mdl, pm1, st1, cfg,
+            state0=(fit1, frozen1, rounds1),
+        )
+        for a, b, name in zip(full, p2, ("pm", "st", "fit", "rounds", "frozen")):
+            assert np.allclose(np.asarray(a, np.float64),
+                               np.asarray(b, np.float64),
+                               rtol=1e-6, atol=1e-6), (split, name, a, b)
+
+
+def test_two_phase_em_repack_subset():
+    """Resuming only a SUBSET of groups (the repacked stragglers) matches
+    those groups' rows of the uninterrupted run."""
+    rng = np.random.default_rng(47)
+    models = make_models(rng)
+    groups = []
+    for i in range(4):
+        groups.append([
+            (sample_events(models[0], 40, rng, scale=1.1, shift=2.0), 0),
+            (sample_events(models[1], 35, rng, scale=1.1, shift=2.0), 1),
+        ])
+    pm0 = [pore_model.PoreModelParams(scale=1.0, shift=1.0)] * 4
+    st0 = [[[0.1, 0.3], [0.1, 0.3]]] * 4
+    ev, mdl, pm_arr, st_arr = build_train_batch(groups, models, pm0, st0)
+    cfg = train.EMConfig(K=K, train_drift=False, double_strand=True,
+                         max_rounds=5, min_progress=-1e9)
+
+    full = train.run_em(ev, mdl, pm_arr, st_arr, cfg)
+    pm1, st1, fit1, rounds1, frozen1 = train.run_em(
+        ev, mdl, pm_arr, st_arr, cfg, round_limit=2)
+    keep = np.where(~frozen1)[0]
+    if len(keep) == 0:
+        return  # everything converged in 2 rounds; nothing to repack
+    sub_ev = {k: np.asarray(v)[keep] for k, v in ev.items()}
+    sub_mdl = {k: (np.asarray(v)[keep] if k == "model_idx" else v)
+               for k, v in mdl.items()}
+    out = train.run_em(
+        sub_ev, sub_mdl, pm1[keep], st1[keep], cfg,
+        state0=(fit1[keep], frozen1[keep], rounds1[keep]),
+    )
+    for a, b, name in zip(
+        (full[0][keep], full[1][keep], full[2][keep], full[3][keep]),
+        out[:4], ("pm", "st", "fit", "rounds"),
+    ):
+        assert np.allclose(np.asarray(a, np.float64),
+                           np.asarray(b, np.float64),
+                           rtol=1e-6, atol=1e-6), (name, a, b)

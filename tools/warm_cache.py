@@ -110,11 +110,14 @@ def main():
         pm0 = np.tile(np.array([1, 0, 0, 1, 1, 1], np.float32), (G, 1))
         st0 = np.tile(np.array([.1, .3], np.float32), (G, 2, 1))
         # match production static args: max_rounds=20 (double-strand)
-        # and 10 (single-strand) are distinct compiled programs
+        # and 10 (single-strand) are distinct compiled programs, and the
+        # two-phase driver adds a round_limit=6 phase-1 program (the
+        # phase-2 resume reuses the full-bound program shape)
         for ds in (True, False):
             cfg = train.EMConfig(max_rounds=10, double_strand=ds,
                                  train_drift=drift)
             train.run_em(ev, mdl, pm0, st0, cfg)
+            train.run_em(ev, mdl, pm0, st0, cfg, round_limit=6)
         print(f"train G={G} drift={drift}: {time.time()-t0:.0f}s", flush=True)
 
     # decode shapes: the production batch-size quantization is {8, 64, cap}
