@@ -168,10 +168,12 @@ def measure_e2e(n_reads: int, n_events: int, train: bool) -> dict:
             # files (see summarize_many docstring)
             summaries = read_pipeline.summarize_many(files, models, cfg, workers=1)
             t_sum = time.time() - t0
+            ev_pool = basecall.EventPool()
             if train:
-                basecall.train_reads(summaries, models, cfg)
+                basecall.train_reads(summaries, models, cfg, ev_pool=ev_pool)
             t_train = time.time() - t0 - t_sum
-            results = basecall.basecall_reads(summaries, models, cfg)
+            results = basecall.basecall_reads(summaries, models, cfg,
+                                              ev_pool=ev_pool)
             return summaries, results, t_sum, t_train, time.time() - t0
 
         # pass 1 warms the per-process deferred device compiles (the axon

@@ -180,10 +180,15 @@ def pack_train_batch(groups, summaries, models, cfg, pad_T=None, pad_G=None):
     return ev, mdl, pm0, st0
 
 
-def train_reads(summaries, models, cfg: Config) -> None:
+def train_reads(summaries, models, cfg: Config, ev_pool=None) -> None:
     """Run EM training for all reads (train_reads, nanocall.cpp:275-582),
     updating summaries in place (pm_params, st_params, fits,
-    preferred_model)."""
+    preferred_model).
+
+    With ev_pool, the decode stage's event pool is prefetched (uploads
+    dispatched) right after the EM buckets are dispatched, so the bulky
+    host->device event transfers overlap the EM device time instead of
+    serializing in front of the first decode chunk."""
     groups = build_train_groups(summaries, models, cfg)
     if not groups:
         return
@@ -262,6 +267,9 @@ def train_reads(summaries, models, cfg: Config) -> None:
             sub = [groups[i] for i in chunk]
             out_dev = dispatch(sub, T, B, [None] * len(sub), phase1)
             pending.append((sub, T, out_dev))
+    if ev_pool is not None:
+        # overlap the decode stage's event uploads with the EM device work
+        ev_pool.prefetch(summaries, cfg)
     # fetch + scatter in dispatch order; one device_get across every bucket
     # (each per-array host fetch is a full relay round trip)
     t_fetch0 = _time.time()
@@ -356,15 +364,19 @@ class DecodeTask:
     path: np.ndarray | None = None
 
 
-def build_decode_tasks(summaries, models, cfg) -> tuple[list, dict]:
+def build_decode_tasks(summaries, models, cfg, ev_pool=None) -> tuple[list, dict]:
     """Expand reads into per-(strand, candidate) Viterbi tasks
-    (nanocall.cpp:692-855)."""
+    (nanocall.cpp:692-855).  With ev_pool, per-read events come from (and
+    fill) the pool's cache, so a prefetched pool means no fast5 re-read."""
     tasks = []
     read_events = {}
     for ridx, s in enumerate(summaries):
         if s.num_ed_events == 0:
             continue
-        evs = read_pipeline.load_events(s, cfg)
+        if ev_pool is not None:
+            evs = ev_pool.load(summaries, ridx, cfg)
+        else:
+            evs = read_pipeline.load_events(s, cfg)
         read_events[ridx] = evs
         if s.scale_strands_together:
             pref = s.preferred_model.get(2)
@@ -399,57 +411,118 @@ def build_decode_tasks(summaries, models, cfg) -> tuple[list, dict]:
     return tasks, read_events
 
 
-class DeviceEventCache:
-    """Per-(read, strand, bucket-T) device-resident event arrays.
+class EventPool:
+    """Per-bucket device-resident event arrays: one host-stacked (P, T)
+    upload per field per length bucket, indexed by (read_idx, strand).
 
-    Each strand's events upload once and are reused across candidate models
-    and the score/path decode passes (drift correction is applied on device
-    per task); host->device bandwidth is the scarce resource on the tunneled
-    chip and still a real cost on production hosts with many candidates."""
+    Host->device bandwidth is the scarce resource (the relay moves
+    ~10 MB/s; production hosts still pay PCIe + dispatch per transfer), so
+    the pool (a) uploads each strand's events exactly ONCE, shared across
+    candidate models and the score/path decode passes, as a few large
+    arrays instead of thousands of per-task rows, (b) keeps log_stdv off
+    the wire entirely (computed on device from stdv), and (c) lets chunk
+    programs take (pool, row-index vector) arguments instead of B
+    per-row arrays — tuple-of-rows argument marshalling measured 2x
+    per-execution overhead at B=128 (tools/exp notes, PERFORMANCE.md).
+
+    Built via prefetch() DURING the train stage's device wait so the
+    transfers overlap EM compute (train_reads' prefetch hook); decode
+    falls back to building it inline when there was no training stage.
+
+    Also the single loader/cache of per-read decode events (load()), so
+    the fast5 is re-read once per read, not once per consumer."""
 
     def __init__(self):
-        self._store = {}
+        self.events: dict = {}  # read_idx -> [EventSequence x2]
+        self._rows: dict = {}  # T -> {(read_idx, strand): row}
+        self._dev: dict = {}  # T -> {field: device (Pq, T) array}
 
-    def rows(self, t, T):
+    def load(self, summaries, ridx, cfg):
+        if ridx not in self.events:
+            self.events[ridx] = read_pipeline.load_events(summaries[ridx], cfg)
+        return self.events[ridx]
+
+    def add(self, ridx, strand, ev) -> None:
+        """Register a strand's events for pooling (idempotent)."""
+        T = batching.bucket_length(len(ev))
+        self._rows.setdefault(T, {}).setdefault((ridx, strand), ev)
+
+    def prefetch(self, summaries, cfg) -> None:
+        """Register every decodable strand (mirrors build_decode_tasks'
+        event expansion) and start the uploads (async)."""
+        for ridx, s in enumerate(summaries):
+            if s.num_ed_events == 0:
+                continue
+            evs = self.load(summaries, ridx, cfg)
+            for st in (0, 1):
+                if s.scale_strands_together or len(evs[st]) >= cfg.min_ed_events:
+                    self.add(ridx, st, evs[st])
+        self._upload()
+
+    def _upload(self) -> None:
         import jax.numpy as jnp
 
-        key = (t.read_idx, t.strand, T)
-        if key not in self._store:
-            L = len(t.ev)
-            mean = np.ones(T, np.float32)
-            stdv = np.ones(T, np.float32)
-            start = np.zeros(T, np.float32)
-            mean[:L] = t.ev.mean
-            stdv[:L] = t.ev.stdv
-            start[:L] = t.ev.start
-            self._store[key] = {
+        for T, rows in self._rows.items():
+            if T in self._dev and len(self._dev[T]["_index"]) == len(rows):
+                continue  # already uploaded and complete
+            P = len(rows)
+            Pq = max(8, 1 << (P - 1).bit_length())
+            mean = np.ones((Pq, T), np.float32)
+            stdv = np.ones((Pq, T), np.float32)
+            start = np.zeros((Pq, T), np.float32)
+            index = {}
+            for ri, (key, ev) in enumerate(rows.items()):
+                L = len(ev)
+                mean[ri, :L] = ev.mean
+                stdv[ri, :L] = ev.stdv
+                start[ri, :L] = ev.start
+                index[key] = ri
+            self._dev[T] = {
                 "mean": jnp.asarray(mean),
                 "stdv": jnp.asarray(stdv),
-                "log_stdv": jnp.asarray(np.log(stdv)),
                 "start": jnp.asarray(start),
+                "_index": index,
             }
-        return self._store[key]
+
+    def bucket(self, tasks, T):
+        """(pool device arrays, (B,) row indices) for a chunk's tasks;
+        uploads any rows not yet registered (inline fallback path)."""
+        missing = [
+            t for t in tasks
+            if (t.read_idx, t.strand) not in self._rows.get(T, {})
+        ]
+        for t in missing:
+            self._rows.setdefault(T, {}).setdefault(
+                (t.read_idx, t.strand), t.ev
+            )
+        if missing or T not in self._dev:
+            self._dev.pop(T, None)
+            self._upload()
+        dev = self._dev[T]
+        idx = np.array(
+            [dev["_index"][(t.read_idx, t.strand)] for t in tasks], np.int32
+        )
+        return dev, idx
 
 
 @functools.partial(jax.jit, static_argnames=("K", "with_path"))
-def _decode_chunk_grouped(rows, drifts, bank, model_idx, pm_params, stp,
-                          lengths, K=6, with_path=True):
-    """One fused device dispatch per decode chunk: stack cached per-task
-    event rows, apply drift correction, build grouped tables and scaled
-    model arrays on device, and run the Viterbi decode.  (Eager per-chunk
-    stacking cost ~4 relay round-trips per chunk; fused it is one.)"""
+def _decode_chunk_pooled(pool_mean, pool_stdv, pool_start, idx, drifts, bank,
+                         model_idx, pm_params, stp, lengths, K=6,
+                         with_path=True):
+    """One fused device dispatch per decode chunk: gather the chunk's rows
+    from the event pool, apply drift correction, build grouped tables and
+    scaled model arrays on device, and run the Viterbi decode."""
     import jax.numpy as jnp
 
-    stacked = {
-        k: jnp.stack([r[k] for r in rows])
-        for k in ("mean", "stdv", "log_stdv", "start")
-    }
+    mean = pool_mean[idx]
+    stdv = pool_stdv[idx]
+    start = pool_start[idx]
     gt = hmm.make_grouped_trans_device.__wrapped__(stp[:, 0], stp[:, 1], K)
     model = hmm.make_scaled_model_arrays.__wrapped__(bank, model_idx, pm_params)
     ev_batch = {
-        "mean": stacked["mean"] - drifts[:, None] * stacked["start"],
-        "stdv": stacked["stdv"],
-        "log_stdv": stacked["log_stdv"],
+        "mean": mean - drifts[:, None] * start,
+        "stdv": stdv,
+        "log_stdv": jnp.log(stdv),
         "length": lengths,
     }
     return hmm.viterbi_decode_grouped.__wrapped__(
@@ -460,7 +533,7 @@ def _decode_chunk_grouped(rows, drifts, bank, model_idx, pm_params, stp,
 
 def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                  sparse_ops, is_sparse_task, with_path: bool,
-                 progress=None, ev_cache=None) -> None:
+                 progress=None, ev_pool=None) -> None:
     """Decode one set of tasks in length buckets, filling task.logp (and
     task.path when with_path).
 
@@ -477,13 +550,13 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
             for part in (sparse_tasks, grouped_tasks):
                 _decode_pass(part, summaries, models, cfg, sharder,
                              sparse_ops, is_sparse_task, with_path,
-                             progress=progress, ev_cache=ev_cache)
+                             progress=progress, ev_pool=ev_pool)
             return
     import jax.numpy as jnp
 
     n = kmer.n_states(cfg.kmer_size)
-    if ev_cache is None:
-        ev_cache = DeviceEventCache()
+    if ev_pool is None:
+        ev_pool = EventPool()
     lengths = [len(t.ev) for t in tasks]
     buckets = batching.make_buckets(
         lengths, cfg.bucket_max_batch, BP_MEM_BUDGET, n,
@@ -506,7 +579,6 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
             model_idx = np.zeros(Bc, np.int32)
             name_ids: dict = {}
             stp = np.full((Bc, 2), [0.1, 0.3], np.float64)
-            rows = []
             for bi, t in enumerate(sub):
                 s = summaries[t.read_idx]
                 params = s.pm_params[t.key]
@@ -524,7 +596,6 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                         pm.mean() * params.scale + params.shift,
                         float(np.mean(t.ev.mean)),
                     )
-                rows.append(ev_cache.rows(t, T))
                 model_idx[bi] = name_ids.setdefault(t.model_name, len(name_ids))
                 pm_params[bi] = params.as_array()
                 drifts[bi] = params.drift
@@ -544,16 +615,15 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                 bank["level_stdv"][mi] = pm.level_stdv
                 bank["sd_mean"][mi] = pm.sd_mean
                 bank["sd_lambda"][mi] = pm.sd_lambda
-            pad_row = {
-                k: jnp.ones(T, jnp.float32) if k in ("mean", "stdv")
-                else jnp.zeros(T, jnp.float32)
-                for k in ("mean", "stdv", "log_stdv", "start")
-            }
-            rows += [pad_row] * (Bc - len(sub))
+            # chunk rows come from the event pool: idx selects each task's
+            # (read, strand) row; padding slots reuse row 0 (masked by
+            # length=0, exactly like the old all-ones pad row)
+            pool_dev, idx = ev_pool.bucket(sub, T)
+            idx = np.concatenate([idx, np.zeros(Bc - len(sub), np.int32)])
             if sparse_ops is not None and all(is_sparse_task(t) for t in sub):
+                idx_d = jnp.asarray(idx)
                 stacked = {
-                    k: jnp.stack([r[k] for r in rows]) for k in
-                    ("mean", "stdv", "log_stdv", "start")
+                    k: pool_dev[k][idx_d] for k in ("mean", "stdv", "start")
                 }
                 model = hmm.make_scaled_model_arrays(bank, model_idx, pm_params)
                 ev_batch = {
@@ -561,7 +631,7 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                     "mean": stacked["mean"]
                     - jnp.asarray(drifts)[:, None] * stacked["start"],
                     "stdv": stacked["stdv"],
-                    "log_stdv": stacked["log_stdv"],
+                    "log_stdv": jnp.log(stacked["stdv"]),
                     "length": length,
                 }
                 model, ev_batch = sharder.shard((model, ev_batch), Bc)
@@ -569,11 +639,11 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                     sparse_ops, model, ev_batch, with_path=with_path
                 )
             elif sharder.active:
-                # multi-device: assemble on host-visible arrays and shard
-                # the batch over the 'data' mesh axis
+                # multi-device: gather rows, then shard the batch over the
+                # 'data' mesh axis
+                idx_d = jnp.asarray(idx)
                 stacked = {
-                    k: jnp.stack([r[k] for r in rows]) for k in
-                    ("mean", "stdv", "log_stdv", "start")
+                    k: pool_dev[k][idx_d] for k in ("mean", "stdv", "start")
                 }
                 gt = hmm.make_grouped_trans_device(
                     stp[:, 0].astype(np.float32), stp[:, 1].astype(np.float32),
@@ -587,7 +657,7 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                     "mean": stacked["mean"]
                     - jnp.asarray(drifts)[:, None] * stacked["start"],
                     "stdv": stacked["stdv"],
-                    "log_stdv": stacked["log_stdv"],
+                    "log_stdv": jnp.log(stacked["stdv"]),
                     "length": length,
                 }
                 gt, model, ev_batch = sharder.shard((gt, model, ev_batch), Bc)
@@ -596,11 +666,12 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                     compact_path=with_path,
                 )
             else:
-                # grouped fast path, fully fused: stacking + device-side
+                # grouped fast path, fully fused: pool gather + device-side
                 # drift correction + table/model construction + decode in
                 # ONE dispatch per chunk
-                out = _decode_chunk_grouped(
-                    tuple(rows), jnp.asarray(drifts),
+                out = _decode_chunk_pooled(
+                    pool_dev["mean"], pool_dev["stdv"], pool_dev["start"],
+                    idx, jnp.asarray(drifts),
                     {k: jnp.asarray(v) for k, v in bank.items()},
                     model_idx, pm_params,
                     stp.astype(np.float32), length,
@@ -611,7 +682,20 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
     # ONE device_get across every chunk: each host np.asarray is a full
     # relay round trip (~30-75 ms measured), so fetching 2 arrays x N
     # chunks sequentially costs seconds per pass at e2e scale
-    fetched = jax.device_get([out for _, out in dispatched])
+    if log.isEnabledFor(10):  # DEBUG: per-chunk completion latency
+        fetched = []
+        t_prev = t_fetch0
+        for sub, out in dispatched:
+            fetched.append(jax.device_get(out))
+            t_now = _time.time()
+            log.debug(
+                "decode_chunk B=%d real=%d wait_s=%.3f",
+                len(sub) and next(iter(jax.tree_util.tree_leaves(out))).shape[0],
+                len(sub), t_now - t_prev,
+            )
+            t_prev = t_now
+    else:
+        fetched = jax.device_get([out for _, out in dispatched])
     log.debug(
         "decode_pass with_path=%s tasks=%d chunks=%d pack_dispatch_s=%.2f "
         "fetch_s=%.2f", with_path, len(tasks), len(dispatched),
@@ -669,7 +753,7 @@ def pick_winners(tasks, summaries) -> list:
 
 
 def run_decode_tasks(tasks, summaries, models, cfg: Config,
-                     default_transitions=None) -> list:
+                     default_transitions=None, ev_pool=None) -> list:
     """Execute Viterbi tasks in two passes: score-only forward over every
     candidate (no backpointers — XLA drops them), then full decode with
     traceback only for the winning candidate of each read/strand.
@@ -710,16 +794,17 @@ def run_decode_tasks(tasks, summaries, models, cfg: Config,
               else t.strand)
         return len(group_keys[gk])
 
-    ev_cache = DeviceEventCache()
+    if ev_pool is None:
+        ev_pool = EventPool()
     contested = [t for t in tasks if multiplicity(t) > 1]
     if contested:
         _decode_pass(contested, summaries, models, cfg, sharder, sparse_ops,
                      is_sparse_task, with_path=False, progress=progress,
-                     ev_cache=ev_cache)
+                     ev_pool=ev_pool)
     winners = pick_winners(tasks, summaries)
     _decode_pass(winners, summaries, models, cfg, sharder, sparse_ops,
                  is_sparse_task, with_path=True, progress=progress,
-                 ev_cache=ev_cache)
+                 ev_pool=ev_pool)
     progress.finish()
     return winners
 
@@ -769,10 +854,18 @@ def select_and_assemble(winners, summaries, cfg: Config) -> list:
     return results
 
 
-def basecall_reads(summaries, models, cfg: Config, default_transitions=None) -> list:
-    """Full basecall stage; returns BasecallResults in input order."""
-    tasks, _ = build_decode_tasks(summaries, models, cfg)
+def basecall_reads(summaries, models, cfg: Config, default_transitions=None,
+                   ev_pool=None) -> list:
+    """Full basecall stage; returns BasecallResults in input order.
+
+    Pass the EventPool prefetched during train_reads so event uploads have
+    already overlapped EM device time; without one, the pool is built
+    inline (--no-train / resume flows)."""
+    if ev_pool is None:
+        ev_pool = EventPool()
+    tasks, _ = build_decode_tasks(summaries, models, cfg, ev_pool=ev_pool)
     if not tasks:
         return []
-    winners = run_decode_tasks(tasks, summaries, models, cfg, default_transitions)
+    winners = run_decode_tasks(tasks, summaries, models, cfg,
+                               default_transitions, ev_pool=ev_pool)
     return select_and_assemble(winners, summaries, cfg)

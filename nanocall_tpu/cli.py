@@ -221,18 +221,19 @@ def main(argv=None) -> int:
     for s in summaries:
         log.info("summary: [%s num_ed_events=%d]", s.base_file_name, s.num_ed_events)
 
+    ev_pool = basecall.EventPool()
     if args.resume_stats:
         n = output.apply_resume(summaries, output.load_stats(args.resume_stats))
         log.info("resumed trained parameters for %d reads from [%s]",
                  n, args.resume_stats)
     elif cfg.train:
         with timer.stage("training"), device_trace(args.trace_dir):
-            basecall.train_reads(summaries, models, cfg)
+            basecall.train_reads(summaries, models, cfg, ev_pool=ev_pool)
 
     if cfg.basecall:
         with timer.stage("basecalling"):
             results = basecall.basecall_reads(
-                summaries, models, cfg, default_transitions
+                summaries, models, cfg, default_transitions, ev_pool=ev_pool
             )
         if cfg.write_fast5:
             output.write_results_fast5(results, summaries, models, cfg)

@@ -8,7 +8,7 @@ pipeline program once on tiny data so subsequent runs start fast.
 
 Shapes are derived from the SAME sizing functions production uses
 (batching.batch_size_for with basecall.BP_MEM_BUDGET), and the fused
-production chunk program (basecall._decode_chunk_grouped) is executed in
+production chunk program (basecall._decode_chunk_pooled) is executed in
 addition to the direct decode entry point the bench uses.
 
 Run once per machine: python tools/warm_cache.py [--quick]
@@ -67,27 +67,27 @@ def main():
         print(f"decode B={B} T={T} path={with_path}: {time.time()-t0:.0f}s",
               flush=True)
 
-    def run_chunk(B, T, with_path):
-        """The fused production chunk program (basecall._decode_chunk_grouped,
-        compact paths)."""
+    def run_chunk(B, T, P, with_path):
+        """The fused production chunk program (basecall._decode_chunk_pooled,
+        pool gather + compact paths).  P = pooled row count (pow2)."""
         t0 = time.time()
-        row = {
-            "mean": jnp.asarray(rng.uniform(40, 90, T).astype(np.float32)),
-            "stdv": jnp.asarray(np.ones(T, np.float32)),
-            "log_stdv": jnp.asarray(np.zeros(T, np.float32)),
+        pool = {
+            "mean": jnp.asarray(rng.uniform(40, 90, (P, T)).astype(np.float32)),
+            "stdv": jnp.asarray(np.ones((P, T), np.float32)),
             "start": jnp.asarray(
-                np.cumsum(np.full(T, 0.02, np.float32))),
+                np.tile(np.cumsum(np.full(T, 0.02, np.float32)), (P, 1))),
         }
-        rows = tuple([row] * B)
+        idx = np.arange(B, dtype=np.int32) % P
         bank = {k: jnp.asarray(v) for k, v in bank_of(B).items()}
         params = np.tile(np.array([1, 0, 0, 1, 1, 1], np.float32), (B, 1))
-        out = basecall._decode_chunk_grouped(
-            rows, jnp.zeros(B, jnp.float32), bank, np.zeros(B, np.int32),
+        out = basecall._decode_chunk_pooled(
+            pool["mean"], pool["stdv"], pool["start"], idx,
+            jnp.zeros(B, jnp.float32), bank, np.zeros(B, np.int32),
             params, np.full((B, 2), [0.1, 0.3], np.float32),
             np.full(B, T, np.int32), K=6, with_path=with_path,
         )
         np.asarray(out["logp"])
-        print(f"chunk B={B} T={T} path={with_path}: {time.time()-t0:.0f}s",
+        print(f"chunk B={B} T={T} P={P} path={with_path}: {time.time()-t0:.0f}s",
               flush=True)
 
     def run_train(G, drift):
@@ -129,7 +129,10 @@ def main():
         for B in Bs:
             for wp in (True, False):
                 run_decode(B, T, wp)
-                run_chunk(B, T, wp)
+                # pool row count quantizes to pow2; warm the sizes a
+                # 256-512 read workload hits
+                for P in ({256} if args.quick else {128, 256, 512}):
+                    run_chunk(B, T, P, wp)
     G = 128  # cfg.train_group_batch
     run_train(G, True)
     if not args.quick:
