@@ -99,8 +99,10 @@ def load_stats(path) -> dict:
     and decodes with these parameters (the reference's closest analogue is
     its per-read stats dump + fast5 write-back, SURVEY.md section 5).
 
-    Returns {read_name: {strand: (model_name, PoreModelParams,
-    TransitionParams)}}.
+    Returns {(file_name, read_name): {strand: (model_name, PoreModelParams,
+    TransitionParams)}}.  Keyed by BOTH columns: read names are not unique
+    across files (fast5 read ids are producer-assigned), and keying by
+    read_name alone crossed parameters between same-named reads.
     """
     out = {}
     with open(path) as fh:
@@ -127,7 +129,7 @@ def load_stats(path) -> dict:
                     float(f[idx[f"n{st}_p_stay"]]), float(f[idx[f"n{st}_p_skip"]])
                 )
                 rec[st] = (name, pm, sp)
-            out[f[idx["read_name"]]] = rec
+            out[(f[idx["file_name"]], f[idx["read_name"]])] = rec
     return out
 
 
@@ -137,7 +139,7 @@ def apply_resume(summaries, stats: dict) -> int:
     training is skipped and decoding uses the stored parameters."""
     n = 0
     for s in summaries:
-        rec = stats.get(s.read_id)
+        rec = stats.get((s.base_file_name, s.read_id))
         if not rec or s.num_ed_events == 0:
             continue
         strands = sorted(rec)

@@ -140,6 +140,31 @@ def test_resume_from_stats(sim_dir, tmp_path):
     assert out1.read_text() == out2.read_text()
 
 
+def test_resume_duplicate_read_ids(models, tmp_path):
+    """Resume keys on (file_name, read_name): fast5 read ids are
+    producer-assigned and NOT unique across files, and keying stats rows by
+    read name alone crossed trained parameters between same-named reads
+    (regression: last row won for both, changing decoded sequences)."""
+    d = tmp_path / "fast5"
+    d.mkdir()
+    rng = np.random.default_rng(5)
+    # two different reads in different files sharing one read_id
+    simulate.write_sim_fast5(d / "a.fast5", models, "r73.t.006", None, 400,
+                             rng, read_id="dup", noise_scale=0.5)
+    simulate.write_sim_fast5(d / "b.fast5", models, "r73.t.006", None, 500,
+                             rng, read_id="dup", noise_scale=0.5)
+    out1 = tmp_path / "a.fa"
+    stats = tmp_path / "s.tsv"
+    rc = cli_main([str(d), "-o", str(out1), "--stats", str(stats),
+                   "--pore", "r73"])
+    assert rc == 0
+    out2 = tmp_path / "b.fa"
+    rc = cli_main([str(d), "-o", str(out2), "--resume-stats", str(stats),
+                   "--pore", "r73"])
+    assert rc == 0
+    assert out1.read_text() == out2.read_text()
+
+
 def test_trans_mixed_chunk_uses_loaded_table(sim_dir, models, tmp_path):
     """A chunk mixing default-st and trained-st tasks must decode the
     default-st tasks through the FILE-LOADED table (--trans), not a grouped
