@@ -114,25 +114,32 @@ def measure_tpu(B: int, T: int, n_iter: int = 8) -> dict:
     # warm up (compile)
     out = hmm.viterbi_decode_grouped(gt, model, ev)
     paths = np.asarray(out["path"])
-    # sustained throughput: overlapped dispatches (production runs a
-    # continuous stream; the relay's fixed per-call latency would otherwise
-    # serialize into the measurement)
-    t0 = time.time()
-    outs = [hmm.viterbi_decode_grouped(gt, model, ev) for _ in range(n_iter)]
-    for out in outs:
-        paths = np.asarray(out["path"])
-    dt = (time.time() - t0) / n_iter
-    # host-side move computation + base assembly for one batch (counted)
+    from concurrent.futures import ThreadPoolExecutor
+
     from nanocall_tpu import native
 
+    def assemble(paths):
+        return [native.moves_and_base_seq(paths[b], 6) for b in range(B)]
+
+    # measured isolated once, for the breakdown line (not the headline)
     t1 = time.time()
-    for b in range(B):
-        native.moves_and_base_seq(paths[b], 6)
+    assemble(paths)
     host_dt = time.time() - t1
-    total = dt + host_dt
+
+    # pipelined steady state, exactly as the production decode path runs:
+    # all batches dispatched up front (async), fetched in completion
+    # order, and each batch's host move/base-seq assembly (ctypes ->
+    # releases the GIL) overlaps the later batches' device work + fetches
+    t0 = time.time()
+    outs = [hmm.viterbi_decode_grouped(gt, model, ev) for _ in range(n_iter)]
+    with ThreadPoolExecutor(2) as pool:
+        futs = [pool.submit(assemble, np.asarray(out["path"])) for out in outs]
+        seqs = [f.result() for f in futs]
+    assert len(seqs) == n_iter and all(s for s in seqs)
+    total = (time.time() - t0) / n_iter
     return {
         "events_per_s": B * T / total,
-        "device_ms": dt * 1e3,
+        "batch_ms": total * 1e3,
         "host_assembly_ms": host_dt * 1e3,
         "reads_per_s": B / total,
     }

@@ -85,13 +85,18 @@ def _train_subseqs(ev, num_events: int):
     return [first, last]
 
 
-def build_train_groups(summaries, models, cfg):
-    """Expand reads into (read, candidate) training groups."""
+def build_train_groups(summaries, models, cfg, ev_pool=None):
+    """Expand reads into (read, candidate) training groups.  With ev_pool,
+    per-read events fill (and come from) the pool's cache so the decode
+    stage never re-reads the fast5."""
     groups = []
     for ridx, s in enumerate(summaries):
         if s.num_ed_events == 0:
             continue
-        evs = read_pipeline.load_events(s, cfg)
+        if ev_pool is not None:
+            evs = ev_pool.load(summaries, ridx, cfg)
+        else:
+            evs = read_pipeline.load_events(s, cfg)
         model_list = _candidate_model_lists(s, models, cfg, evs)
         sub = {
             st: _train_subseqs(evs[st], cfg.scaling_num_events)
@@ -189,7 +194,7 @@ def train_reads(summaries, models, cfg: Config, ev_pool=None) -> None:
     dispatched) right after the EM buckets are dispatched, so the bulky
     host->device event transfers overlap the EM device time instead of
     serializing in front of the first decode chunk."""
-    groups = build_train_groups(summaries, models, cfg)
+    groups = build_train_groups(summaries, models, cfg, ev_pool=ev_pool)
     if not groups:
         return
     em_cfg = train.EMConfig(
@@ -268,8 +273,9 @@ def train_reads(summaries, models, cfg: Config, ev_pool=None) -> None:
             out_dev = dispatch(sub, T, B, [None] * len(sub), phase1)
             pending.append((sub, T, out_dev))
     if ev_pool is not None:
-        # overlap the decode stage's event uploads with the EM device work
-        ev_pool.prefetch(summaries, cfg)
+        # overlap the decode stage's event uploads (host stacking + wire
+        # time) with the EM device wait below; decode joins before use
+        ev_pool.prefetch_async(summaries, cfg)
     # fetch + scatter in dispatch order; one device_get across every bucket
     # (each per-array host fetch is a full relay round trip)
     t_fetch0 = _time.time()
@@ -370,6 +376,8 @@ def build_decode_tasks(summaries, models, cfg, ev_pool=None) -> tuple[list, dict
     fill) the pool's cache, so a prefetched pool means no fast5 re-read."""
     tasks = []
     read_events = {}
+    if ev_pool is not None:
+        ev_pool.join()  # prefetch thread shares the event cache
     for ridx, s in enumerate(summaries):
         if s.num_ed_events == 0:
             continue
@@ -436,11 +444,29 @@ class EventPool:
         self.events: dict = {}  # read_idx -> [EventSequence x2]
         self._rows: dict = {}  # T -> {(read_idx, strand): row}
         self._dev: dict = {}  # T -> {field: device (Pq, T) array}
+        self._thread = None
 
     def load(self, summaries, ridx, cfg):
         if ridx not in self.events:
             self.events[ridx] = read_pipeline.load_events(summaries[ridx], cfg)
         return self.events[ridx]
+
+    def prefetch_async(self, summaries, cfg) -> None:
+        """prefetch() on a background thread: the host stacking + upload
+        dispatch overlaps the caller's device wait (the fast5 reads and
+        numpy copies otherwise serialize on the main thread).  join() is
+        called by every consumer before the pool is read."""
+        import threading
+
+        self._thread = threading.Thread(
+            target=self.prefetch, args=(summaries, cfg), daemon=True
+        )
+        self._thread.start()
+
+    def join(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
 
     def add(self, ridx, strand, ev) -> None:
         """Register a strand's events for pooling (idempotent)."""
@@ -487,6 +513,7 @@ class EventPool:
     def bucket(self, tasks, T):
         """(pool device arrays, (B,) row indices) for a chunk's tasks;
         uploads any rows not yet registered (inline fallback path)."""
+        self.join()
         missing = [
             t for t in tasks
             if (t.read_idx, t.strand) not in self._rows.get(T, {})
