@@ -171,17 +171,15 @@ def measure_e2e(n_reads: int, n_events: int, train: bool) -> dict:
 
         def run_once():
             t0 = time.time()
-            # workers=1: threaded summarize is a GIL convoy on page-cached
-            # files (see summarize_many docstring)
-            summaries = read_pipeline.summarize_many(files, models, cfg, workers=1)
-            t_sum = time.time() - t0
+            # streamed ingest+train: summarize/load overlaps EM device time
             ev_pool = basecall.EventPool()
-            if train:
-                basecall.train_reads(summaries, models, cfg, ev_pool=ev_pool)
-            t_train = time.time() - t0 - t_sum
+            summaries = basecall.summarize_and_train(
+                files, models, cfg, ev_pool=ev_pool, train_enabled=train
+            )
+            t_train = time.time() - t0
             results = basecall.basecall_reads(summaries, models, cfg,
                                               ev_pool=ev_pool)
-            return summaries, results, t_sum, t_train, time.time() - t0
+            return summaries, results, t_train, time.time() - t0
 
         # pass 1 warms the per-process deferred device compiles (the axon
         # remote-compile backend compiles at first execution; minutes per
@@ -189,16 +187,15 @@ def measure_e2e(n_reads: int, n_events: int, train: bool) -> dict:
         t0 = time.time()
         run_once()
         warm_s = time.time() - t0
-        summaries, results, t_sum, t_train, dt = run_once()
+        summaries, results, t_train, dt = run_once()
         total_events = sum(s.num_ed_events for s in summaries)
     return {
         "reads_per_s": round(n_reads / dt, 2),
         "events_per_s": round(total_events / dt),
         "seconds": round(dt, 1),
         "warmup_compile_s": round(warm_s, 1),
-        "summarize_s": round(t_sum, 1),
-        "train_s": round(t_train, 1),
-        "basecall_s": round(dt - t_sum - t_train, 1),
+        "ingest_train_s": round(t_train, 1),
+        "basecall_s": round(dt - t_train, 1),
         "n_seqs": len(results),
     }
 
@@ -218,8 +215,10 @@ def main():
     if args.debug:
         import logging
 
-        logging.basicConfig(level=logging.DEBUG,
-                            format="%(name)s: %(levelname)s: %(message)s")
+        logging.basicConfig(
+            level=logging.DEBUG,
+            format="%(relativeCreated)8.0fms %(name)s: %(levelname)s: %(message)s",
+        )
         logging.getLogger("jax").setLevel(logging.WARNING)
 
     if args.e2e:

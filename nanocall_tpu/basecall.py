@@ -85,6 +85,40 @@ def _train_subseqs(ev, num_events: int):
     return [first, last]
 
 
+def _read_train_groups(ridx, s, models, cfg, evs):
+    """One read's (read, candidate) training groups."""
+    groups = []
+    model_list = _candidate_model_lists(s, models, cfg, evs)
+    sub = {
+        st: _train_subseqs(evs[st], cfg.scaling_num_events)
+        for st in (0, 1)
+        if len(evs[st]) >= cfg.min_ed_events
+    }
+    if s.scale_strands_together:
+        seqs = [(e, st) for st in (0, 1) for e in sub.get(st, [])]
+        for m0 in model_list[0]:
+            for m1 in model_list[1]:
+                groups.append(
+                    TrainGroup(
+                        read_idx=ridx, key=(m0, m1), seqs=seqs,
+                        model_names=(m0, m1), joint=True,
+                    )
+                )
+    else:
+        for st in (0, 1):
+            if st not in sub:
+                continue
+            for m in model_list[st]:
+                key = (m, "") if st == 0 else ("", m)
+                groups.append(
+                    TrainGroup(
+                        read_idx=ridx, key=key, seqs=[(e, st) for e in sub[st]],
+                        model_names=(m, m), joint=False,
+                    )
+                )
+    return groups
+
+
 def build_train_groups(summaries, models, cfg, ev_pool=None):
     """Expand reads into (read, candidate) training groups.  With ev_pool,
     per-read events fill (and come from) the pool's cache so the decode
@@ -97,34 +131,7 @@ def build_train_groups(summaries, models, cfg, ev_pool=None):
             evs = ev_pool.load(summaries, ridx, cfg)
         else:
             evs = read_pipeline.load_events(s, cfg)
-        model_list = _candidate_model_lists(s, models, cfg, evs)
-        sub = {
-            st: _train_subseqs(evs[st], cfg.scaling_num_events)
-            for st in (0, 1)
-            if len(evs[st]) >= cfg.min_ed_events
-        }
-        if s.scale_strands_together:
-            seqs = [(e, st) for st in (0, 1) for e in sub.get(st, [])]
-            for m0 in model_list[0]:
-                for m1 in model_list[1]:
-                    groups.append(
-                        TrainGroup(
-                            read_idx=ridx, key=(m0, m1), seqs=seqs,
-                            model_names=(m0, m1), joint=True,
-                        )
-                    )
-        else:
-            for st in (0, 1):
-                if st not in sub:
-                    continue
-                for m in model_list[st]:
-                    key = (m, "") if st == 0 else ("", m)
-                    groups.append(
-                        TrainGroup(
-                            read_idx=ridx, key=key, seqs=[(e, st) for e in sub[st]],
-                            model_names=(m, m), joint=False,
-                        )
-                    )
+        groups.extend(_read_train_groups(ridx, s, models, cfg, evs))
     return groups
 
 
@@ -185,55 +192,58 @@ def pack_train_batch(groups, summaries, models, cfg, pad_T=None, pad_G=None):
     return ev, mdl, pm0, st0
 
 
-def train_reads(summaries, models, cfg: Config, ev_pool=None) -> None:
-    """Run EM training for all reads (train_reads, nanocall.cpp:275-582),
-    updating summaries in place (pm_params, st_params, fits,
-    preferred_model).
+class _EMDriver:
+    """Incremental EM dispatcher: accepts TrainGroups as they are built
+    (streamed per read or all at once), dispatches a device chunk whenever a
+    length bucket fills, and finish()es with the two-phase fetch/repack.
 
-    With ev_pool, the decode stage's event pool is prefetched (uploads
-    dispatched) right after the EM buckets are dispatched, so the bulky
-    host->device event transfers overlap the EM device time instead of
-    serializing in front of the first decode chunk."""
-    groups = build_train_groups(summaries, models, cfg, ev_pool=ev_pool)
-    if not groups:
-        return
-    em_cfg = train.EMConfig(
-        max_rounds=cfg.scaling_max_rounds,
-        min_progress=cfg.scaling_min_progress,
-        train_drift=bool(cfg.train_drift),
-        train_scaling=cfg.train_scaling,
-        train_transitions=cfg.train_transitions,
-        K=cfg.kmer_size,
-    )
-    # bucket by training length (usually uniform = scaling_num_events/2)
-    lengths = [max(len(e) for e, _ in g.seqs) for g in groups]
-    buckets = batching.make_buckets(
-        lengths, cfg.train_group_batch, BP_MEM_BUDGET, kmer.n_states(cfg.kmer_size)
-    )
-    # dispatch phase: pack + dispatch every bucket without blocking (device
-    # EM of chunk N overlaps host packing of chunk N+1 — pfor-style overlap,
-    # nanocall.cpp:859-861, expressed as async dispatch).  Two-phase EM
-    # (cfg.em_phase1_rounds): a chunk's device time is max(rounds) over its
-    # G groups, so pass 1 runs EVERY group a few rounds and pass 2 repacks
-    # only the still-unconverged stragglers (usually a small fraction) into
-    # fresh chunks and resumes their exact per-group carry (train.run_em
-    # state0) — trajectory-identical to one uninterrupted run.
-    import time as _time
+    Two-phase EM (cfg.em_phase1_rounds): a chunk's device time is
+    max(rounds) over its G groups, so pass 1 runs EVERY group a few rounds
+    and pass 2 repacks only the still-unconverged stragglers (usually a
+    small fraction) into fresh chunks and resumes their exact per-group
+    carry (train.run_em state0) — trajectory-identical to one uninterrupted
+    run.  Chunk membership never affects a group's trajectory (per-group
+    masked stopping), so streamed and staged feeding give identical
+    results."""
 
-    from .observe import read_context
+    def __init__(self, summaries, models, cfg: Config):
+        self.summaries = summaries  # live list; may grow between add()s
+        self.models = models
+        self.cfg = cfg
+        self.em_cfg = train.EMConfig(
+            max_rounds=cfg.scaling_max_rounds,
+            min_progress=cfg.scaling_min_progress,
+            train_drift=bool(cfg.train_drift),
+            train_scaling=cfg.train_scaling,
+            train_transitions=cfg.train_transitions,
+            K=cfg.kmer_size,
+        )
+        self.phase1 = cfg.em_phase1_rounds or None
+        self.pending = []  # (sub_groups, T, out_dev)
+        self.queue: dict[int, list] = {}  # T -> groups awaiting a full chunk
+        self.n_groups = 0
+        self.n_stragglers = 0
+        import time as _time
 
-    t_pack0 = _time.time()
+        self._t0 = _time.time()
 
-    def dispatch(sub_groups, pad_T, pad_B, states, limit):
+    def _full_batch(self, T: int) -> int:
+        return batching.batch_size_for(
+            T, self.cfg.train_group_batch, BP_MEM_BUDGET,
+            kmer.n_states(self.cfg.kmer_size),
+        )
+
+    def _dispatch(self, sub_groups, pad_T, pad_B, states, limit):
         real_flags = [g.joint for g in sub_groups]
         # per-candidate round caps (nanocall.cpp:420 vs :536): joint
         # candidates get 2x max_rounds, single-strand 1x, independently
         # within a mixed chunk; padding rows inherit the chunk max so
         # they never raise the static loop bound on their own
         joint_flags = real_flags + [any(real_flags)] * (pad_B - len(sub_groups))
-        caps = em_cfg.caps(joint_flags)
+        caps = self.em_cfg.caps(joint_flags)
         ev, mdl, pm0, st0 = pack_train_batch(
-            sub_groups, summaries, models, cfg, pad_T=pad_T, pad_G=pad_B
+            sub_groups, self.summaries, self.models, self.cfg,
+            pad_T=pad_T, pad_G=pad_B,
         )
         fit0 = np.full(pad_B, -np.inf, np.float32)
         frozen0 = np.arange(pad_B) >= len(sub_groups)  # padding starts frozen
@@ -242,12 +252,14 @@ def train_reads(summaries, models, cfg: Config, ev_pool=None) -> None:
             if st is not None:
                 fit0[gi], _, rounds0[gi] = st
         return train.run_em(
-            ev, mdl, pm0, st0, em_cfg, caps=caps, fetch=False,
+            ev, mdl, pm0, st0, self.em_cfg, caps=caps, fetch=False,
             state0=(fit0, frozen0, rounds0), round_limit=limit,
         )
 
-    def scatter(grp, pm_row, st_row, fit_g, rounds_g, final):
-        s = summaries[grp.read_idx]
+    def _scatter(self, grp, pm_row, st_row, fit_g, rounds_g, final):
+        s = self.summaries[grp.read_idx]
+        from .observe import read_context
+
         # per-read failure context (global_assert.hpp:21-25, set at
         # nanocall.cpp:295)
         with read_context(s.read_id):
@@ -265,57 +277,153 @@ def train_reads(summaries, models, cfg: Config, ev_pool=None) -> None:
                     s.pm_params[grp.key], fit_g, rounds_g,
                 )
 
-    phase1 = cfg.em_phase1_rounds or None
-    pending = []
-    for T, B, chunks in buckets:
-        for chunk in chunks:
-            sub = [groups[i] for i in chunk]
-            out_dev = dispatch(sub, T, B, [None] * len(sub), phase1)
-            pending.append((sub, T, out_dev))
-    if ev_pool is not None:
-        # overlap the decode stage's event uploads (host stacking + wire
-        # time) with the EM device wait below; decode joins before use
-        ev_pool.prefetch_async(summaries, cfg)
-    # fetch + scatter in dispatch order; one device_get across every bucket
-    # (each per-array host fetch is a full relay round trip)
-    t_fetch0 = _time.time()
-    fetched = jax.device_get([out_dev for _, _, out_dev in pending])
-    leftovers = []  # (group, (fit, frozen, rounds) carry, T)
-    for (sub, T, _), out_host in zip(pending, fetched):
-        pm_f, st_f, fit, rounds, frozen = train.fetch_em_result(out_host)
-        for gi, grp in enumerate(sub):
-            scatter(grp, pm_f[gi], st_f[gi], fit[gi], rounds[gi],
-                    final=bool(frozen[gi]) or phase1 is None)
-            if phase1 is not None and not frozen[gi]:
-                leftovers.append(
-                    (grp, (fit[gi], False, rounds[gi]), T)
-                )
-    t_p2 = _time.time()
-    if leftovers:
-        buckets2 = batching.make_buckets(
-            [T for _, _, T in leftovers], cfg.train_group_batch,
-            BP_MEM_BUDGET, kmer.n_states(cfg.kmer_size),
-        )
-        pending2 = []
-        for T, B, chunks in buckets2:
-            for chunk in chunks:
-                entries = [leftovers[i] for i in chunk]
-                sub = [e[0] for e in entries]
-                out_dev = dispatch(sub, T, B, [e[1] for e in entries], None)
-                pending2.append((sub, out_dev))
-        fetched2 = jax.device_get([out_dev for _, out_dev in pending2])
-        for (sub, _), out_host in zip(pending2, fetched2):
+    def add(self, groups) -> None:
+        """Queue groups; dispatch any length bucket that reaches a full
+        chunk (device EM of chunk N overlaps host ingestion/packing of
+        chunk N+1 — pfor-style overlap, nanocall.cpp:859-861, expressed as
+        async dispatch)."""
+        self.n_groups += len(groups)
+        for g in groups:
+            T = batching.bucket_length(max(len(e) for e, _ in g.seqs))
+            q = self.queue.setdefault(T, [])
+            q.append(g)
+            B = self._full_batch(T)
+            if len(q) >= B:
+                sub = q[:B]
+                del q[:B]
+                out_dev = self._dispatch(sub, T, B, [None] * B, self.phase1)
+                self.pending.append((sub, T, out_dev))
+
+    def _flush(self) -> None:
+        """Dispatch the leftover partial chunks (same {8, 64, cap} batch
+        quantization as the staged path's make_buckets)."""
+        for T in sorted(self.queue):
+            rest = self.queue[T]
+            if not rest:
+                continue
+            buckets = batching.make_buckets(
+                [T] * len(rest), self.cfg.train_group_batch, BP_MEM_BUDGET,
+                kmer.n_states(self.cfg.kmer_size),
+            )
+            for bT, B, chunks in buckets:
+                for chunk in chunks:
+                    sub = [rest[i] for i in chunk]
+                    out_dev = self._dispatch(sub, bT, B, [None] * len(sub),
+                                             self.phase1)
+                    self.pending.append((sub, bT, out_dev))
+            rest.clear()
+
+    def finish(self) -> None:
+        """Flush, fetch phase 1 in dispatch order, repack stragglers
+        (phase 2), scatter results, and run model selection."""
+        import time as _time
+
+        self._flush()
+        if not self.pending:
+            return
+        # fetch + scatter in dispatch order; one device_get across every
+        # bucket (each per-array host fetch is a full relay round trip)
+        t_fetch0 = _time.time()
+        fetched = jax.device_get([out for _, _, out in self.pending])
+        leftovers = []  # (group, (fit, frozen, rounds) carry, T)
+        for (sub, T, _), out_host in zip(self.pending, fetched):
             pm_f, st_f, fit, rounds, frozen = train.fetch_em_result(out_host)
             for gi, grp in enumerate(sub):
-                scatter(grp, pm_f[gi], st_f[gi], fit[gi], rounds[gi],
-                        final=True)
-    log.debug(
-        "train_pass groups=%d buckets=%d stragglers=%d pack_dispatch_s=%.2f "
-        "p1_fetch_s=%.2f p2_s=%.2f",
-        len(groups), len(pending), len(leftovers), t_fetch0 - t_pack0,
-        t_p2 - t_fetch0, _time.time() - t_p2,
-    )
-    _select_models(summaries, cfg)
+                self._scatter(grp, pm_f[gi], st_f[gi], fit[gi], rounds[gi],
+                              final=bool(frozen[gi]) or self.phase1 is None)
+                if self.phase1 is not None and not frozen[gi]:
+                    leftovers.append((grp, (fit[gi], False, rounds[gi]), T))
+        self.n_stragglers = len(leftovers)
+        t_p2 = _time.time()
+        if leftovers:
+            buckets2 = batching.make_buckets(
+                [T for _, _, T in leftovers], self.cfg.train_group_batch,
+                BP_MEM_BUDGET, kmer.n_states(self.cfg.kmer_size),
+            )
+            pending2 = []
+            for T, B, chunks in buckets2:
+                for chunk in chunks:
+                    entries = [leftovers[i] for i in chunk]
+                    sub = [e[0] for e in entries]
+                    out_dev = self._dispatch(sub, T, B,
+                                             [e[1] for e in entries], None)
+                    pending2.append((sub, out_dev))
+            fetched2 = jax.device_get([out for _, out in pending2])
+            for (sub, _), out_host in zip(pending2, fetched2):
+                pm_f, st_f, fit, rounds, frozen = train.fetch_em_result(out_host)
+                for gi, grp in enumerate(sub):
+                    self._scatter(grp, pm_f[gi], st_f[gi], fit[gi], rounds[gi],
+                                  final=True)
+        log.debug(
+            "train_pass groups=%d buckets=%d stragglers=%d "
+            "ingest_dispatch_s=%.2f p1_fetch_s=%.2f p2_s=%.2f",
+            self.n_groups, len(self.pending), len(leftovers),
+            t_fetch0 - self._t0, t_p2 - t_fetch0, _time.time() - t_p2,
+        )
+        _select_models(self.summaries, self.cfg)
+
+
+def train_reads(summaries, models, cfg: Config, ev_pool=None) -> None:
+    """Run EM training for all reads (train_reads, nanocall.cpp:275-582),
+    updating summaries in place (pm_params, st_params, fits,
+    preferred_model).
+
+    With ev_pool, the decode stage's event pool is uploaded before the EM
+    chunks are dispatched (idle wire; the transfers then sit ahead of the
+    EM queue instead of contending with it — see EventPool)."""
+    groups = build_train_groups(summaries, models, cfg, ev_pool=ev_pool)
+    if not groups:
+        return
+    if ev_pool is not None:
+        ev_pool.prefetch(summaries, cfg)
+    driver = _EMDriver(summaries, models, cfg)
+    driver.add(groups)
+    driver.finish()
+
+
+def summarize_and_train(files, models, cfg: Config, ev_pool=None,
+                        train_enabled=None) -> list:
+    """Streamed ingest + training: summarize each fast5, load its events,
+    expand its candidate groups, and dispatch EM device chunks as length
+    buckets fill — so the host-side read ingestion (fast5 parsing, event
+    filtering, packing) overlaps the EM device time instead of serializing
+    in front of it (the reference's overlapped pfor chunks,
+    nanocall.cpp:859-861, lifted to the whole summarize+train stage).
+
+    Returns summaries in file order.  Identical results to
+    summarize_many + train_reads (chunk membership does not affect EM
+    trajectories; tested by test_pipeline.py)."""
+    if train_enabled is None:
+        train_enabled = cfg.train
+    summaries = []
+    driver = _EMDriver(summaries, models, cfg) if train_enabled else None
+    for path in files:
+        s = read_pipeline.summarize(path, models, cfg)
+        summaries.append(s)
+        log.info("summary: [%s num_ed_events=%d]", s.base_file_name,
+                 s.num_ed_events)
+        if s.num_ed_events == 0:
+            continue
+        ridx = len(summaries) - 1
+        if ev_pool is not None:
+            evs = ev_pool.load(summaries, ridx, cfg)
+            # register decodable strands as they appear (mirrors
+            # EventPool.prefetch's expansion)
+            for st in (0, 1):
+                if s.scale_strands_together or len(evs[st]) >= cfg.min_ed_events:
+                    ev_pool.add(ridx, st, evs[st])
+        else:
+            evs = read_pipeline.load_events(s, cfg)
+        if driver is not None:
+            driver.add(_read_train_groups(ridx, s, models, cfg, evs))
+    if ev_pool is not None:
+        # stack + dispatch the decode event pool now: the host cost is small
+        # (allocator tuned, see _tune_allocator) and the wire transfers
+        # overlap the trailing EM chunks
+        ev_pool.upload_now()
+    if driver is not None:
+        driver.finish()
+    return summaries
 
 
 def _select_models(summaries, cfg: Config) -> None:
@@ -376,8 +484,6 @@ def build_decode_tasks(summaries, models, cfg, ev_pool=None) -> tuple[list, dict
     fill) the pool's cache, so a prefetched pool means no fast5 re-read."""
     tasks = []
     read_events = {}
-    if ev_pool is not None:
-        ev_pool.join()  # prefetch thread shares the event cache
     for ridx, s in enumerate(summaries):
         if s.num_ed_events == 0:
             continue
@@ -444,29 +550,11 @@ class EventPool:
         self.events: dict = {}  # read_idx -> [EventSequence x2]
         self._rows: dict = {}  # T -> {(read_idx, strand): row}
         self._dev: dict = {}  # T -> {field: device (Pq, T) array}
-        self._thread = None
 
     def load(self, summaries, ridx, cfg):
         if ridx not in self.events:
             self.events[ridx] = read_pipeline.load_events(summaries[ridx], cfg)
         return self.events[ridx]
-
-    def prefetch_async(self, summaries, cfg) -> None:
-        """prefetch() on a background thread: the host stacking + upload
-        dispatch overlaps the caller's device wait (the fast5 reads and
-        numpy copies otherwise serialize on the main thread).  join() is
-        called by every consumer before the pool is read."""
-        import threading
-
-        self._thread = threading.Thread(
-            target=self.prefetch, args=(summaries, cfg), daemon=True
-        )
-        self._thread.start()
-
-    def join(self) -> None:
-        if self._thread is not None:
-            self._thread.join()
-            self._thread = None
 
     def add(self, ridx, strand, ev) -> None:
         """Register a strand's events for pooling (idempotent)."""
@@ -476,6 +564,9 @@ class EventPool:
     def prefetch(self, summaries, cfg) -> None:
         """Register every decodable strand (mirrors build_decode_tasks'
         event expansion) and start the uploads (async)."""
+        import time as _time
+
+        t0 = _time.time()
         for ridx, s in enumerate(summaries):
             if s.num_ed_events == 0:
                 continue
@@ -483,14 +574,20 @@ class EventPool:
             for st in (0, 1):
                 if s.scale_strands_together or len(evs[st]) >= cfg.min_ed_events:
                     self.add(ridx, st, evs[st])
-        self._upload()
+        t1 = _time.time()
+        self.upload_now()
+        log.debug("pool_prefetch load_s=%.2f stack_dispatch_s=%.2f",
+                  t1 - t0, _time.time() - t1)
 
-    def _upload(self) -> None:
+    def upload_now(self) -> None:
+        import time as _time
+
         import jax.numpy as jnp
 
         for T, rows in self._rows.items():
             if T in self._dev and len(self._dev[T]["_index"]) == len(rows):
                 continue  # already uploaded and complete
+            t0 = _time.time()
             P = len(rows)
             Pq = max(8, 1 << (P - 1).bit_length())
             mean = np.ones((Pq, T), np.float32)
@@ -503,17 +600,19 @@ class EventPool:
                 stdv[ri, :L] = ev.stdv
                 start[ri, :L] = ev.start
                 index[key] = ri
+            t1 = _time.time()
             self._dev[T] = {
                 "mean": jnp.asarray(mean),
                 "stdv": jnp.asarray(stdv),
                 "start": jnp.asarray(start),
                 "_index": index,
             }
+            log.debug("pool_upload T=%d Pq=%d stack_s=%.2f dispatch_s=%.2f",
+                      T, Pq, t1 - t0, _time.time() - t1)
 
     def bucket(self, tasks, T):
         """(pool device arrays, (B,) row indices) for a chunk's tasks;
         uploads any rows not yet registered (inline fallback path)."""
-        self.join()
         missing = [
             t for t in tasks
             if (t.read_idx, t.strand) not in self._rows.get(T, {})
@@ -524,7 +623,7 @@ class EventPool:
             )
         if missing or T not in self._dev:
             self._dev.pop(T, None)
-            self._upload()
+            self.upload_now()
         dev = self._dev[T]
         idx = np.array(
             [dev["_index"][(t.read_idx, t.strand)] for t in tasks], np.int32

@@ -214,21 +214,34 @@ def main(argv=None) -> int:
     from .observe import StageTimer, device_trace
 
     timer = StageTimer()
-    with timer.stage("init_reads"):
-        summaries = read_pipeline.summarize_many(
-            files, models, cfg, workers=max(1, args.threads)
-        )
-    for s in summaries:
-        log.info("summary: [%s num_ed_events=%d]", s.base_file_name, s.num_ed_events)
-
     ev_pool = basecall.EventPool()
+    train_now = cfg.train and not args.resume_stats
+    if args.threads > 1:
+        # staged path: threaded summarize for slow/remote storage, then
+        # batch training
+        with timer.stage("init_reads"):
+            summaries = read_pipeline.summarize_many(
+                files, models, cfg, workers=args.threads
+            )
+        for s in summaries:
+            log.info("summary: [%s num_ed_events=%d]",
+                     s.base_file_name, s.num_ed_events)
+        if train_now:
+            with timer.stage("training"), device_trace(args.trace_dir):
+                basecall.train_reads(summaries, models, cfg, ev_pool=ev_pool)
+    else:
+        # streamed path (default): summarize/load each read and dispatch EM
+        # chunks as buckets fill — host ingestion overlaps EM device time
+        with timer.stage("training" if train_now else "init_reads"), \
+                device_trace(args.trace_dir):
+            summaries = basecall.summarize_and_train(
+                files, models, cfg, ev_pool=ev_pool, train_enabled=train_now
+            )
+
     if args.resume_stats:
         n = output.apply_resume(summaries, output.load_stats(args.resume_stats))
         log.info("resumed trained parameters for %d reads from [%s]",
                  n, args.resume_stats)
-    elif cfg.train:
-        with timer.stage("training"), device_trace(args.trace_dir):
-            basecall.train_reads(summaries, models, cfg, ev_pool=ev_pool)
 
     if cfg.basecall:
         with timer.stage("basecalling"):

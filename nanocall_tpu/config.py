@@ -65,8 +65,10 @@ class Config:
     # two-phase EM: run every group this many rounds, then repack only the
     # still-unconverged groups and continue (a chunk otherwise waits on its
     # slowest group's round count; trajectory-identical — train.run_em
-    # state0).  0 = single phase.
-    em_phase1_rounds: int = 6
+    # state0).  0 = single phase.  8 measured best on the simulated
+    # workload's rounds histogram (~11%% of groups exceed 8 rounds, so
+    # phase 2 shrinks to one chunk: 6 -> 232 stragglers/2 chunks, 8 -> 85/1).
+    em_phase1_rounds: int = 8
     # parallel
     num_shards: int = 0  # 0 = use all local devices
 

@@ -260,3 +260,38 @@ def test_two_phase_em_matches_single_phase(sim_dir, models):
         assert np.allclose(a[0], b[0], rtol=1e-5, atol=1e-5), (k, a, b)
         assert abs(a[1] - b[1]) < 1e-2, (k, a, b)
     assert fasta1 == fasta2
+
+
+def test_streamed_matches_staged(sim_dir, models):
+    """summarize_and_train (streamed ingest: per-read summarize/load with
+    incremental EM chunk dispatch) must produce the same summaries, trained
+    parameters, and FASTA as the staged summarize_many + train_reads path."""
+    d, _ = sim_dir
+    files = read_pipeline.init_files([str(d)])
+
+    def snapshot(summaries, results):
+        params = {
+            (s.read_id, k): (s.pm_params[k].as_array().tolist(),
+                             round(s.fits[k], 4))
+            for s in summaries for k in s.fits
+        }
+        return params, [(r.seq_name, r.base_seq) for r in results]
+
+    cfg = Config().apply_pore_preset()
+    staged = [read_pipeline.summarize(f, models, cfg) for f in files]
+    basecall.train_reads(staged, models, cfg)
+    snap_staged = snapshot(staged, basecall.basecall_reads(staged, models, cfg))
+
+    cfg2 = Config().apply_pore_preset()
+    pool = basecall.EventPool()
+    streamed = basecall.summarize_and_train(files, models, cfg2, ev_pool=pool)
+    assert [s.read_id for s in streamed] == [s.read_id for s in staged]
+    snap_streamed = snapshot(
+        streamed, basecall.basecall_reads(streamed, models, cfg2, ev_pool=pool)
+    )
+    assert snap_staged[0].keys() == snap_streamed[0].keys()
+    for k in snap_staged[0]:
+        a, b = snap_staged[0][k], snap_streamed[0][k]
+        assert np.allclose(a[0], b[0], rtol=0, atol=0), (k, a, b)
+        assert a[1] == b[1], (k, a, b)
+    assert snap_staged[1] == snap_streamed[1]
