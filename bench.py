@@ -268,7 +268,7 @@ def main():
                 "detail": {
                     "B": B,
                     "T": T,
-                    "device_ms_per_batch": round(res["device_ms"], 1),
+                    "pipelined_ms_per_batch": round(res["batch_ms"], 1),
                     "host_assembly_ms": round(res["host_assembly_ms"], 1),
                     "reads_per_s": round(res["reads_per_s"], 1),
                     "cpu_baseline_events_per_s": cpu,
