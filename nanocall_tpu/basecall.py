@@ -393,12 +393,13 @@ def summarize_and_train(files, models, cfg: Config, ev_pool=None,
     Returns summaries in file order.  Identical results to
     summarize_many + train_reads (chunk membership does not affect EM
     trajectories; tested by test_pipeline.py)."""
+    from . import ingest
+
     if train_enabled is None:
         train_enabled = cfg.train
     summaries = []
     driver = _EMDriver(summaries, models, cfg) if train_enabled else None
-    for path in files:
-        s = read_pipeline.summarize(path, models, cfg)
+    for s, evs in ingest.ingest_stream(files, models, cfg):
         summaries.append(s)
         log.info("summary: [%s num_ed_events=%d]", s.base_file_name,
                  s.num_ed_events)
@@ -406,14 +407,14 @@ def summarize_and_train(files, models, cfg: Config, ev_pool=None,
             continue
         ridx = len(summaries) - 1
         if ev_pool is not None:
-            evs = ev_pool.load(summaries, ridx, cfg)
+            # seed the pool's per-read cache with the events summarize
+            # already built — the fast5 is read exactly once per read
+            ev_pool.events[ridx] = evs
             # register decodable strands as they appear (mirrors
             # EventPool.prefetch's expansion)
             for st in (0, 1):
                 if s.scale_strands_together or len(evs[st]) >= cfg.min_ed_events:
                     ev_pool.add(ridx, st, evs[st])
-        else:
-            evs = read_pipeline.load_events(s, cfg)
         if driver is not None:
             driver.add(_read_train_groups(ridx, s, models, cfg, evs))
     if ev_pool is not None:

@@ -63,8 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pore", default="r73", choices=["r73", "r9"])
     p.add_argument("--write-fast5", action="store_true")
     p.add_argument("-o", "--output", default="")
-    p.add_argument("-t", "--threads", type=int, default=1,
-                   help="(accepted for CLI parity; device parallelism is used instead)")
+    p.add_argument("-t", "--threads", type=int, default=-1,
+                   help="host ingest worker processes (default: auto; device "
+                   "parallelism handles the DP compute either way)")
     p.add_argument("--batch", type=int, default=256, help="decode bucket batch size")
     p.add_argument("--trace-dir", default="", help="write a JAX profiler trace here")
     p.add_argument("--resume-stats", default="",
@@ -102,6 +103,7 @@ def config_from_args(args) -> Config:
         fasta_line_width=args.fasta_line_width,
         stats_fn=args.stats_fn,
         bucket_max_batch=args.batch,
+        ingest_workers=args.threads,
     )
     # train/basecall flag resolution (nanocall.cpp:995-1021)
     if args.train and args.no_train:
@@ -216,27 +218,14 @@ def main(argv=None) -> int:
     timer = StageTimer()
     ev_pool = basecall.EventPool()
     train_now = cfg.train and not args.resume_stats
-    if args.threads > 1:
-        # staged path: threaded summarize for slow/remote storage, then
-        # batch training
-        with timer.stage("init_reads"):
-            summaries = read_pipeline.summarize_many(
-                files, models, cfg, workers=args.threads
-            )
-        for s in summaries:
-            log.info("summary: [%s num_ed_events=%d]",
-                     s.base_file_name, s.num_ed_events)
-        if train_now:
-            with timer.stage("training"), device_trace(args.trace_dir):
-                basecall.train_reads(summaries, models, cfg, ev_pool=ev_pool)
-    else:
-        # streamed path (default): summarize/load each read and dispatch EM
-        # chunks as buckets fill — host ingestion overlaps EM device time
-        with timer.stage("training" if train_now else "init_reads"), \
-                device_trace(args.trace_dir):
-            summaries = basecall.summarize_and_train(
-                files, models, cfg, ev_pool=ev_pool, train_enabled=train_now
-            )
+    # streamed path: summarize/load each read (-t worker processes) and
+    # dispatch EM chunks as buckets fill — host ingestion overlaps EM
+    # device time
+    with timer.stage("training" if train_now else "init_reads"), \
+            device_trace(args.trace_dir):
+        summaries = basecall.summarize_and_train(
+            files, models, cfg, ev_pool=ev_pool, train_enabled=train_now
+        )
 
     if args.resume_stats:
         n = output.apply_resume(summaries, output.load_stats(args.resume_stats))

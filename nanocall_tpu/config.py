@@ -71,6 +71,11 @@ class Config:
     em_phase1_rounds: int = 8
     # parallel
     num_shards: int = 0  # 0 = use all local devices
+    # ingest worker processes (-1 = auto: cpu_count-1 capped at 6; 0/1 =
+    # in-process).  Forked, jax-free workers run summarize + event
+    # filtering (~5 ms/read of GIL-bound numpy/h5py) off the streamed
+    # pipeline's critical path; threads measurably don't (see ingest.py).
+    ingest_workers: int = -1
 
     def apply_pore_preset(self) -> "Config":
         """r73/r9 presets for abasic/hairpin/drift knobs (nanocall.cpp:943-964)."""

@@ -1,0 +1,119 @@
+"""Parallel read ingestion: summarize + event filtering in worker processes.
+
+The per-read host work (h5py parsing, abasic/hairpin island detection, event
+filtering, initial moment-matching scaling — Fast5_Summary.hpp:138-319) is
+GIL-bound numpy/h5py (~5 ms/read), so at e2e scale the streamed pipeline's
+critical path is host ingest, not device EM (which overlaps it).  Threads
+don't help — h5py holds the GIL on page-cached files and a thread pool is a
+measured 3x regression (read_pipeline.summarize_many) — but fork()ed worker
+processes do.
+
+Workers are jax-free: read_pipeline/fast5_io import only numpy + h5py, and
+the pool is created on first use, which in every flow precedes the first
+device dispatch, so the fork carries no live TPU-client threads.  Results
+stream back in file order so the EM dispatcher can consume them as they
+arrive (device chunks overlap later files' ingest).
+
+This is the TPU-native stand-in for the reference's thread-pool ingest
+overlap (pfor in train_reads, nanocall.cpp:282-290): there, per-read
+summarize cost hides inside the per-read worker threads; here, summarize
+feeds *batched* device EM, so it gets its own process pool ahead of the
+dispatcher instead.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+from . import read_pipeline
+
+log = logging.getLogger("nanocall")
+
+_executor = None
+_executor_workers = 0
+
+# files per task: large enough to amortize the (models, cfg) pickle per
+# task, small enough to stream results back promptly
+_CHUNK = 8
+
+
+def auto_workers() -> int:
+    n = os.cpu_count() or 1
+    return max(1, min(n - 1, 6))
+
+
+def _resolve_workers(workers: int) -> int:
+    return auto_workers() if workers < 0 else workers
+
+
+def _get_executor(workers: int):
+    global _executor, _executor_workers
+    if _executor is not None and _executor_workers == workers:
+        return _executor
+    if _executor is not None:
+        _executor.shutdown(wait=False, cancel_futures=True)
+        _executor = None
+    import multiprocessing
+    from concurrent.futures import ProcessPoolExecutor
+
+    _executor = ProcessPoolExecutor(
+        max_workers=workers, mp_context=multiprocessing.get_context("fork")
+    )
+    _executor_workers = workers
+    return _executor
+
+
+def _worker_chunk(paths, models, cfg):
+    return [
+        read_pipeline.summarize(p, models, cfg, return_events=True)
+        for p in paths
+    ]
+
+
+def ingest_stream(files, models, cfg):
+    """Yield (summary, per-strand events) per fast5 file, in file order.
+
+    With cfg.ingest_workers > 1 (default: auto), files are summarized by a
+    persistent fork pool; any pool failure falls back to in-process
+    ingestion for the remaining files (per-read errors never surface here —
+    summarize catches them and returns num_ed_events == 0, matching
+    Fast5_Summary.hpp:311-315 semantics)."""
+    workers = _resolve_workers(cfg.ingest_workers)
+    if workers <= 1 or len(files) <= _CHUNK:
+        for p in files:
+            yield read_pipeline.summarize(p, models, cfg, return_events=True)
+        return
+    chunks = [files[i : i + _CHUNK] for i in range(0, len(files), _CHUNK)]
+    done = 0
+    try:
+        pool = _get_executor(workers)
+        futs = [pool.submit(_worker_chunk, c, models, cfg) for c in chunks]
+    except Exception as e:
+        log.warning("ingest pool unavailable (%s); ingesting in-process", e)
+        futs = None
+    if futs is not None:
+        for ci, fut in enumerate(futs):
+            try:
+                results = fut.result()
+            except Exception as e:
+                log.warning(
+                    "ingest pool failed (%s); ingesting remaining %d files "
+                    "in-process", e, len(files) - done,
+                )
+                for f2 in futs[ci + 1 :]:
+                    f2.cancel()
+                break
+            for r in results:
+                done += 1
+                yield r
+    for p in files[done:]:
+        yield read_pipeline.summarize(p, models, cfg, return_events=True)
+
+
+def shutdown() -> None:
+    """Tear down the worker pool (tests / process exit hygiene)."""
+    global _executor
+    if _executor is not None:
+        _executor.shutdown(wait=False, cancel_futures=True)
+        _executor = None

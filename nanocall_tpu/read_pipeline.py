@@ -226,10 +226,27 @@ def initial_scaling(
                     summary.st_params[key] = sp
 
 
-def summarize(path: str, models: dict, cfg: Config) -> ReadSummary:
+def summarize(path: str, models: dict, cfg: Config, return_events=False):
     """Open a fast5 file and build its ReadSummary
     (Fast5_Summary::summarize, hpp:138-319).  Any failure leaves
-    num_ed_events == 0 and the read is skipped downstream."""
+    num_ed_events == 0 and the read is skipped downstream.
+
+    With return_events, returns (summary, per-strand events) — the filtered
+    event sequences summarize already builds for initial scaling, identical
+    to a later load_events() (same ed data, bounds and filters) but without
+    re-opening the fast5.  The reference re-reads by design to bound RAM
+    across 100k's of reads (hpp:321-377 load/drop); here the events flow
+    straight into the device upload pool, so the copy is transient."""
+    s, evs = _summarize_impl(path, models, cfg)
+    if not return_events:
+        return s
+    if evs is None:
+        evs = [EventSequence(np.zeros(0), np.zeros(0), np.zeros(0),
+                             np.zeros(0))] * 2
+    return s, evs
+
+
+def _summarize_impl(path: str, models: dict, cfg: Config):
     s = ReadSummary(file_name=path, valid=True)
     base = os.path.basename(path)
     if base.endswith(".fast5"):
@@ -240,14 +257,14 @@ def summarize(path: str, models: dict, cfg: Config) -> ReadSummary:
         with fast5_io.Fast5File(path) as f:
             if not f.have_sampling_rate():
                 log.info("%s: missing sampling rate", path)
-                return s
+                return s, None
             s.sampling_rate = f.get_sampling_rate()
             if not (1000.0 <= s.sampling_rate <= 10000.0):
                 log.warning("%s: unexpected sampling rate: %s", path, s.sampling_rate)
-                return s
+                return s, None
             if not f.have_eventdetection_events(cfg.ed_group):
                 log.info("%s: missing eventdetection events", path)
-                return s
+                return s, None
             ed = f.get_eventdetection_events(cfg.ed_group)
             if ed.read_id:
                 s.read_id = ed.read_id
@@ -255,7 +272,7 @@ def summarize(path: str, models: dict, cfg: Config) -> ReadSummary:
             trim = cfg.trim_margins
             if num < trim[0] + trim[1] + cfg.min_ed_events:
                 log.info("%s: not enough eventdetection events: %d", path, num)
-                return s
+                return s, None
             s.num_ed_events = num
             means = ed.mean[:num]
             from . import native
@@ -266,14 +283,14 @@ def summarize(path: str, models: dict, cfg: Config) -> ReadSummary:
             if s.abasic_level <= 1.0:
                 log.info("%s: abasic level too low: %s", path, s.abasic_level)
                 s.num_ed_events = 0
-                return s
+                return s, None
             bounds = (trim[0], num - trim[1], 0, 0)
             if not cfg.template_only:
                 bounds = detect_strands(num, means, s.abasic_level, trim)
             if bounds[1] <= bounds[0]:
                 log.info("%s: no template strand detected", path)
                 s.num_ed_events = 0
-                return s
+                return s, None
             s.strand_bounds = bounds
             s.scale_strands_together = (
                 cfg.double_strand_scaling
@@ -292,10 +309,11 @@ def summarize(path: str, models: dict, cfg: Config) -> ReadSummary:
             )
             initial_scaling(s, evs, models, cfg)
             s.bc_grp = fast5_io.next_basecall_group(f.get_basecall_group_list())
+            return s, evs
     except Exception as e:  # HDF5 errors -> skip read (hpp:311-315)
         log.warning("%s: fast5 error: %s", path, e)
         s.num_ed_events = 0
-    return s
+    return s, None
 
 
 def _truncate(ed: fast5_io.EdEventData, num: int) -> fast5_io.EdEventData:

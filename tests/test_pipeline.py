@@ -295,3 +295,33 @@ def test_streamed_matches_staged(sim_dir, models):
         assert np.allclose(a[0], b[0], rtol=0, atol=0), (k, a, b)
         assert a[1] == b[1], (k, a, b)
     assert snap_staged[1] == snap_streamed[1]
+
+
+def test_ingest_pool_matches_inprocess(sim_dir, models, monkeypatch):
+    """The fork-pool ingest path (cfg.ingest_workers > 1) must yield the
+    same summaries and events, in file order, as in-process ingestion."""
+    from nanocall_tpu import ingest
+
+    d, _ = sim_dir
+    files = read_pipeline.init_files([str(d)])
+    monkeypatch.setattr(ingest, "_CHUNK", 1)  # force one task per file
+
+    def snap(stream):
+        out = []
+        for s, evs in stream:
+            out.append((
+                s.read_id, s.num_ed_events, s.strand_bounds,
+                {k: p.as_array().tolist() for k, p in s.pm_params.items()},
+                [(e.mean.tolist(), e.length.tolist()) for e in evs],
+            ))
+        return out
+
+    cfg_seq = Config(ingest_workers=1).apply_pore_preset()
+    cfg_pool = Config(ingest_workers=2).apply_pore_preset()
+    seq = snap(ingest.ingest_stream(files, models, cfg_seq))
+    try:
+        pool = snap(ingest.ingest_stream(files, models, cfg_pool))
+    finally:
+        ingest.shutdown()
+    assert [r[0] for r in seq] == [r[0] for r in pool]
+    assert seq == pool
