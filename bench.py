@@ -95,12 +95,24 @@ def measure_tpu(B: int, T: int, n_iter: int = 8) -> dict:
 
     models = load_builtin_models("r73")
     pm = models["r73.t.006"]
-    gt = hmm.make_grouped_trans(transitions.TransitionParams(), 6)
+    tp = transitions.TransitionParams()
+    # per-read device-built tables + device-scaled models from a one-copy
+    # bank: the same program shape as production's _decode_chunk_pooled
+    # (basecall.py) — scalar host-built tables compile to a ~1.8x slower
+    # program on this toolchain (278 vs 158 ms/chunk at B=128, T=8192)
+    gt = hmm.make_grouped_trans_device(
+        np.full(B, tp.p_stay, np.float32), np.full(B, tp.p_skip, np.float32),
+        K=6)
     rng = np.random.default_rng(0)
-    model = hmm.make_model_arrays(
-        np.tile(pm.level_mean, (B, 1)), np.tile(pm.level_stdv, (B, 1)),
-        np.tile(pm.sd_mean, (B, 1)), np.tile(pm.sd_lambda, (B, 1)),
-    )
+    bank = {
+        "level_mean": pm.level_mean[None].astype(np.float32),
+        "level_stdv": pm.level_stdv[None].astype(np.float32),
+        "sd_mean": pm.sd_mean[None].astype(np.float32),
+        "sd_lambda": pm.sd_lambda[None].astype(np.float32),
+    }
+    params = np.zeros((B, 6), np.float32)
+    params[:, [0, 3, 4, 5]] = 1.0  # identity {scale, var, scale_sd, var_sd}
+    model = hmm.make_scaled_model_arrays(bank, np.zeros(B, np.int32), params)
     # model-generated signal (the accuracy runs' generative process), not
     # uniform noise: device timing and accuracy share a workload shape
     mean, stdv = sample_walk_events(pm, B, T, rng)
@@ -111,29 +123,39 @@ def measure_tpu(B: int, T: int, n_iter: int = 8) -> dict:
         "length": np.full(B, T, np.int32),
     }
     ev = {k: jax.device_put(v) for k, v in ev.items()}
-    # warm up (compile)
-    out = hmm.viterbi_decode_grouped(gt, model, ev)
-    paths = np.asarray(out["path"])
+    # warm up (compile); compact_path matches the production decode
+    # (basecall.py: uint8 codes fetch + native path reconstruction)
+    out = hmm.viterbi_decode_grouped(gt, model, ev, compact_path=True)
+    codes0 = np.asarray(out["codes"])
+    path00 = np.asarray(out["path0"])
     from concurrent.futures import ThreadPoolExecutor
 
     from nanocall_tpu import native
 
-    def assemble(paths):
-        return [native.moves_and_base_seq(paths[b], 6) for b in range(B)]
+    def assemble(path0, codes):
+        seqs = []
+        for b in range(B):
+            path = native.path_from_codes(int(path0[b]), codes[b], 6)
+            seqs.append(native.moves_and_base_seq(path, 6))
+        return seqs
 
     # measured isolated once, for the breakdown line (not the headline)
     t1 = time.time()
-    assemble(paths)
+    assemble(path00, codes0)
     host_dt = time.time() - t1
 
+    def fetch_and_assemble(out):
+        return assemble(np.asarray(out["path0"]), np.asarray(out["codes"]))
+
     # pipelined steady state, exactly as the production decode path runs:
-    # all batches dispatched up front (async), fetched in completion
-    # order, and each batch's host move/base-seq assembly (ctypes ->
-    # releases the GIL) overlaps the later batches' device work + fetches
+    # all batches dispatched up front (async), fetched + assembled on
+    # worker threads (relay fetch round-trips overlap each other and the
+    # later batches' device work; ctypes assembly releases the GIL)
     t0 = time.time()
-    outs = [hmm.viterbi_decode_grouped(gt, model, ev) for _ in range(n_iter)]
-    with ThreadPoolExecutor(2) as pool:
-        futs = [pool.submit(assemble, np.asarray(out["path"])) for out in outs]
+    outs = [hmm.viterbi_decode_grouped(gt, model, ev, compact_path=True)
+            for _ in range(n_iter)]
+    with ThreadPoolExecutor(4) as pool:
+        futs = [pool.submit(fetch_and_assemble, out) for out in outs]
         seqs = [f.result() for f in futs]
     assert len(seqs) == n_iter and all(s for s in seqs)
     total = (time.time() - t0) / n_iter
@@ -202,8 +224,11 @@ def measure_e2e(n_reads: int, n_events: int, train: bool) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reads", type=int, default=256)
-    ap.add_argument("--events", type=int, default=4096)
+    # B=128 x T=8192 (1M events/chunk): measured fastest decode shape on
+    # hardware (tools/exp_decode_shapes.py: 6.7M vs 5.4M events/s at
+    # 256x4096; 8k events is also the realistic R7.3 template length)
+    ap.add_argument("--reads", type=int, default=128)
+    ap.add_argument("--events", type=int, default=8192)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="re-measure CPU baseline")
     ap.add_argument("--e2e", action="store_true",
