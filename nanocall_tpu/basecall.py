@@ -549,7 +549,9 @@ class EventPool:
 
     def __init__(self):
         self.events: dict = {}  # read_idx -> [EventSequence x2]
-        self._rows: dict = {}  # T -> {(read_idx, strand): row}
+        # T -> {mean/stdv/start: (cap, T) arrays, index: {(ridx, strand): row},
+        #       count, frozen}
+        self._arena: dict = {}
         self._dev: dict = {}  # T -> {field: device (Pq, T) array}
 
     def load(self, summaries, ridx, cfg):
@@ -557,10 +559,55 @@ class EventPool:
             self.events[ridx] = read_pipeline.load_events(summaries[ridx], cfg)
         return self.events[ridx]
 
+    @staticmethod
+    def _alloc(cap: int, T: int) -> dict:
+        # padding slots pre-filled (mean/stdv 1, start 0) at allocation, so
+        # add() only writes each row's real prefix
+        return {
+            "mean": np.ones((cap, T), np.float32),
+            "stdv": np.ones((cap, T), np.float32),
+            "start": np.zeros((cap, T), np.float32),
+        }
+
+    def _grow(self, a: dict, T: int, cap: int) -> None:
+        bufs = self._alloc(cap, T)
+        n = a["count"]
+        for k, buf in bufs.items():
+            buf[:n] = a[k][:n]
+            a[k] = buf
+
     def add(self, ridx, strand, ev) -> None:
-        """Register a strand's events for pooling (idempotent)."""
+        """Register a strand's events, copying the row into the host arena
+        immediately (idempotent).
+
+        The copy (and the arena's growth first-touch) happens HERE, during
+        the ingest loop — overlapping fork-pool waits — because on this
+        host fresh-page touches run ~100x slow (microVM fault path) and
+        host stacking contends badly with in-flight relay transfers
+        (tools/exp_pool_stack.py: a warm 48 MB stack is 15 ms idle but 8 s
+        while a pool upload is on the wire)."""
         T = batching.bucket_length(len(ev))
-        self._rows.setdefault(T, {}).setdefault((ridx, strand), ev)
+        a = self._arena.get(T)
+        if a is None:
+            a = {**self._alloc(8, T), "index": {}, "count": 0, "frozen": False}
+            self._arena[T] = a
+        key = (ridx, strand)
+        if key in a["index"]:
+            return
+        if a["frozen"]:
+            # an upload of this arena may still be reading the buffers
+            # (device_put is async): copy-on-write before mutating
+            self._grow(a, T, a["mean"].shape[0])
+            a["frozen"] = False
+        i = a["count"]
+        if i >= a["mean"].shape[0]:
+            self._grow(a, T, a["mean"].shape[0] * 2)
+        L = len(ev)
+        a["mean"][i, :L] = ev.mean
+        a["stdv"][i, :L] = ev.stdv
+        a["start"][i, :L] = ev.start
+        a["index"][key] = i
+        a["count"] = i + 1
 
     def prefetch(self, summaries, cfg) -> None:
         """Register every decodable strand (mirrors build_decode_tasks'
@@ -581,47 +628,41 @@ class EventPool:
                   t1 - t0, _time.time() - t1)
 
     def upload_now(self) -> None:
+        """Dispatch the async device uploads (pure dispatch: the host
+        stacking already happened row-by-row in add())."""
         import time as _time
 
         import jax.numpy as jnp
 
-        for T, rows in self._rows.items():
-            if T in self._dev and len(self._dev[T]["_index"]) == len(rows):
+        for T, a in self._arena.items():
+            P = a["count"]
+            if P == 0 or (
+                T in self._dev and len(self._dev[T]["_index"]) == P
+            ):
                 continue  # already uploaded and complete
             t0 = _time.time()
-            P = len(rows)
             Pq = max(8, 1 << (P - 1).bit_length())
-            mean = np.ones((Pq, T), np.float32)
-            stdv = np.ones((Pq, T), np.float32)
-            start = np.zeros((Pq, T), np.float32)
-            index = {}
-            for ri, (key, ev) in enumerate(rows.items()):
-                L = len(ev)
-                mean[ri, :L] = ev.mean
-                stdv[ri, :L] = ev.stdv
-                start[ri, :L] = ev.start
-                index[key] = ri
-            t1 = _time.time()
+            if Pq > a["mean"].shape[0]:
+                self._grow(a, T, Pq)
+            a["frozen"] = True
             self._dev[T] = {
-                "mean": jnp.asarray(mean),
-                "stdv": jnp.asarray(stdv),
-                "start": jnp.asarray(start),
-                "_index": index,
+                "mean": jnp.asarray(a["mean"][:Pq]),
+                "stdv": jnp.asarray(a["stdv"][:Pq]),
+                "start": jnp.asarray(a["start"][:Pq]),
+                "_index": dict(a["index"]),
             }
-            log.debug("pool_upload T=%d Pq=%d stack_s=%.2f dispatch_s=%.2f",
-                      T, Pq, t1 - t0, _time.time() - t1)
+            log.debug("pool_upload T=%d Pq=%d dispatch_s=%.2f",
+                      T, Pq, _time.time() - t0)
 
     def bucket(self, tasks, T):
         """(pool device arrays, (B,) row indices) for a chunk's tasks;
         uploads any rows not yet registered (inline fallback path)."""
+        arena_index = self._arena.get(T, {}).get("index", {})
         missing = [
-            t for t in tasks
-            if (t.read_idx, t.strand) not in self._rows.get(T, {})
+            t for t in tasks if (t.read_idx, t.strand) not in arena_index
         ]
         for t in missing:
-            self._rows.setdefault(T, {}).setdefault(
-                (t.read_idx, t.strand), t.ev
-            )
+            self.add(t.read_idx, t.strand, t.ev)
         if missing or T not in self._dev:
             self._dev.pop(T, None)
             self.upload_now()
@@ -806,31 +847,18 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                 )
             dispatched.append((sub, out))
     t_fetch0 = _time.time()
-    # ONE device_get across every chunk: each host np.asarray is a full
-    # relay round trip (~30-75 ms measured), so fetching 2 arrays x N
-    # chunks sequentially costs seconds per pass at e2e scale
-    if log.isEnabledFor(10):  # DEBUG: per-chunk completion latency
-        fetched = []
-        t_prev = t_fetch0
-        for sub, out in dispatched:
-            fetched.append(jax.device_get(out))
-            t_now = _time.time()
-            log.debug(
-                "decode_chunk B=%d real=%d wait_s=%.3f",
-                len(sub) and next(iter(jax.tree_util.tree_leaves(out))).shape[0],
-                len(sub), t_now - t_prev,
-            )
-            t_prev = t_now
-    else:
-        fetched = jax.device_get([out for _, out in dispatched])
-    log.debug(
-        "decode_pass with_path=%s tasks=%d chunks=%d pack_dispatch_s=%.2f "
-        "fetch_s=%.2f", with_path, len(tasks), len(dispatched),
-        t_fetch0 - t_pack0, _time.time() - t_fetch0,
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
     from . import native
 
-    for (sub, _), out in zip(dispatched, fetched):
+    def finish_chunk(sub, out):
+        # per-chunk fetch + path reconstruction on worker threads: relay
+        # fetch round trips overlap each other and later chunks' device
+        # work (the same pattern as the headline bench; device chunks
+        # complete in dispatch order, so workers drain in pipeline order)
+        t_w0 = _time.time()
+        out = jax.device_get(out)
+        t_w1 = _time.time()
         logps = out["logp"]
         compact = with_path and "codes" in out
         paths = out.get("path") if with_path else None
@@ -838,7 +866,7 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
             t.logp = float(logps[bi])
             if compact:
                 # reconstruct the state path from the compact device
-                # encoding (exact; native scalar loop)
+                # encoding (exact; native scalar loop, releases the GIL)
                 L = len(t.ev)
                 t.path = native.path_from_codes(
                     int(out["path0"][bi]), out["codes"][bi, : max(L - 1, 0)],
@@ -848,6 +876,18 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                 t.path = paths[bi, : len(t.ev)]
         if progress is not None:
             progress.add(len(sub))
+        log.debug("decode_chunk real=%d fetch_s=%.3f host_s=%.3f",
+                  len(sub), t_w1 - t_w0, _time.time() - t_w1)
+
+    with ThreadPoolExecutor(4) as fpool:
+        futs = [fpool.submit(finish_chunk, sub, out) for sub, out in dispatched]
+        for f in futs:
+            f.result()
+    log.debug(
+        "decode_pass with_path=%s tasks=%d chunks=%d pack_dispatch_s=%.2f "
+        "fetch_assemble_s=%.2f", with_path, len(tasks), len(dispatched),
+        t_fetch0 - t_pack0, _time.time() - t_fetch0,
+    )
 
 
 def pick_winners(tasks, summaries) -> list:
