@@ -325,3 +325,85 @@ def test_ingest_pool_matches_inprocess(sim_dir, models, monkeypatch):
         ingest.shutdown()
     assert [r[0] for r in seq] == [r[0] for r in pool]
     assert seq == pool
+
+
+def test_event_pool_arena_growth_and_cow():
+    """EventPool arena semantics: growth past the initial capacity keeps all
+    rows intact; adding rows after an upload must not mutate buffers the
+    earlier dispatch may still be reading (copy-on-write), and the uploaded
+    device arrays must reflect exactly the rows present at dispatch time."""
+    from nanocall_tpu import events as events_mod
+
+    rng = np.random.default_rng(5)
+
+    def make_ev(L):
+        return events_mod.EventSequence(
+            mean=rng.uniform(40, 90, L).astype(np.float32),
+            stdv=rng.uniform(0.5, 1.5, L).astype(np.float32),
+            start=np.cumsum(rng.uniform(0.01, 0.05, L)).astype(np.float32),
+            length=np.full(L, 0.02, np.float32),
+        )
+
+    pool = basecall.EventPool()
+    evs = [make_ev(100 + i) for i in range(20)]  # > initial cap of 8
+    for i, ev in enumerate(evs):
+        pool.add(i, 0, ev)
+    pool.add(3, 0, evs[0])  # duplicate key: idempotent
+    T = next(iter(pool._arena))
+    a = pool._arena[T]
+    assert a["count"] == 20
+    for i, ev in enumerate(evs):  # growth preserved every row
+        assert np.array_equal(a["mean"][i, : len(ev)], ev.mean)
+        assert np.allclose(a["stdv"][i, : len(ev)], ev.stdv)
+
+    pool.upload_now()
+    assert a["frozen"]
+    dev0 = pool._dev[T]
+    buf0 = a["mean"]
+    host0 = np.asarray(dev0["mean"])
+
+    late = make_ev(125)  # still bucket T=128: hits the frozen arena
+    pool.add(99, 1, late)  # after upload: must copy-on-write
+    assert a["mean"] is not buf0
+    assert not a["frozen"]
+    assert np.array_equal(np.asarray(dev0["mean"]), host0)  # old upload intact
+
+    pool.upload_now()  # re-upload includes the late row
+    dev1 = pool._dev[T]
+    ri = dev1["_index"][(99, 1)]
+    assert np.array_equal(
+        np.asarray(dev1["mean"])[ri, : len(late)], late.mean
+    )
+    # padding slots keep the deterministic fill (mean/stdv 1, start 0)
+    Pq = np.asarray(dev1["mean"]).shape[0]
+    assert Pq >= 21 and np.all(np.asarray(dev1["mean"])[a["count"]:] == 1.0)
+    assert np.all(np.asarray(dev1["start"])[a["count"]:] == 0.0)
+
+
+def test_event_pool_bucket_inline_fallback(models):
+    """bucket() with rows never registered (the --no-train / resume flow)
+    must register + upload them inline and return correct row indices."""
+    from nanocall_tpu import batching, events as events_mod
+
+    rng = np.random.default_rng(6)
+    L = 300
+    T = batching.bucket_length(L)
+
+    class Task:
+        def __init__(self, ridx, strand, ev):
+            self.read_idx, self.strand, self.ev = ridx, strand, ev
+
+    tasks = [
+        Task(i, s, events_mod.EventSequence(
+            mean=rng.uniform(40, 90, L).astype(np.float32),
+            stdv=rng.uniform(0.5, 1.5, L).astype(np.float32),
+            start=np.cumsum(rng.uniform(0.01, 0.05, L)).astype(np.float32),
+            length=np.full(L, 0.02, np.float32),
+        ))
+        for i in range(3) for s in (0, 1)
+    ]
+    pool = basecall.EventPool()
+    dev, idx = pool.bucket(tasks, T)
+    host = np.asarray(dev["mean"])
+    for t, ri in zip(tasks, idx):
+        assert np.array_equal(host[ri, :L], t.ev.mean)
