@@ -34,37 +34,20 @@ CPU_BASELINE_EVENTS_PER_S = 16500.0
 
 def sample_walk_events(pm, B: int, T: int, rng, p_stay=0.1, p_skip=0.3,
                        noise=1.0):
-    """Vectorized generative walk through the stay/step/skip chain, emitting
-    from the pore model — the bench workload shares the shape of real reads
-    (and of the accuracy runs) instead of uniform noise.
+    """Generative (B, T) walk through the stay/step/skip chain, emitting
+    from the pore model — the bench workload shares the generative process
+    of the accuracy runs (nanocall_tpu.simulate is the single source of
+    truth) instead of uniform noise."""
+    from nanocall_tpu import simulate
+    from nanocall_tpu.pore_model import PoreModelParams
 
-    Skip distance follows the reference's geometric tail
-    (State_Transitions.hpp:125-144); for the bench we cap at 2 (mass beyond
-    is < 2%% and timing-neutral for the fixed-shape kernels).
-    """
     n = pm.level_mean.shape[0]
     K = int(round(np.log(n) / np.log(4)))
-    mask = n - 1
-    s = rng.integers(0, n, B)
-    states = np.empty((B, T), np.int64)
-    u = rng.random((B, T))
-    bases = rng.integers(0, 4, (B, T))
-    bases2 = rng.integers(0, 4, (B, T))
-    p_step = 1.0 - p_stay - p_skip
-    for t in range(T):
-        states[:, t] = s
-        stay = u[:, t] < p_stay
-        step = u[:, t] < p_stay + p_step
-        s_step = ((s << 2) & mask) | bases[:, t]
-        s_skip = ((s << 4) & mask) | (bases[:, t] << 2) | bases2[:, t]
-        s = np.where(stay, s, np.where(step, s_step, s_skip))
-    lm = pm.level_mean[states]
-    ls = pm.level_stdv[states]
-    sm = pm.sd_mean[states]
-    ss = pm.sd_stdv[states]
-    mean = rng.normal(lm, ls * noise).astype(np.float32)
-    stdv = np.maximum(rng.normal(sm, ss * noise), 0.05).astype(np.float32)
-    return mean, stdv
+    states = simulate.sample_state_walk_batch(B, T, K, p_stay, p_skip, rng)
+    mean, stdv = simulate._emit(
+        pm, states, PoreModelParams(), np.zeros((B, 1)), rng, noise
+    )
+    return mean.astype(np.float32), stdv.astype(np.float32)
 
 
 def measure_cpu(reads: int, events: int, events_file: str = "") -> float:

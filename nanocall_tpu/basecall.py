@@ -866,12 +866,16 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
             t.logp = float(logps[bi])
             if compact:
                 # reconstruct the state path from the compact device
-                # encoding (exact; native scalar loop, releases the GIL)
+                # encoding (exact; native scalar loop, releases the GIL);
+                # an eventless task has an empty path, not [path0]
                 L = len(t.ev)
-                t.path = native.path_from_codes(
-                    int(out["path0"][bi]), out["codes"][bi, : max(L - 1, 0)],
-                    cfg.kmer_size,
-                )
+                if L == 0:
+                    t.path = np.zeros(0, np.int32)
+                else:
+                    t.path = native.path_from_codes(
+                        int(out["path0"][bi]), out["codes"][bi, : L - 1],
+                        cfg.kmer_size,
+                    )
             elif with_path:
                 t.path = paths[bi, : len(t.ev)]
         if progress is not None:

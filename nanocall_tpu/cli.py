@@ -13,7 +13,7 @@ import sys
 
 import numpy as np
 
-from . import __version__, basecall, output, pore_model, read_pipeline, transitions
+from . import basecall, output, pore_model, read_pipeline, transitions
 from .config import Config
 from .models import load_builtin_models
 
@@ -25,7 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="nanocall-tpu",
         description="Call bases in Oxford Nanopore reads (TPU-native).",
     )
-    p.add_argument("--version", action="version", version=__version__)
+    from .version import get_version
+
+    p.add_argument("--version", action="version", version=get_version())
     p.add_argument("inputs", nargs="+", help="directories, fast5 files, or fofn files ('-' = stdin)")
     p.add_argument("--ed-group", default="", help="EventDetection group to use")
     p.add_argument("--chunk-size", type=int, default=1,
@@ -216,7 +218,9 @@ def main(argv=None) -> int:
     from .observe import StageTimer, device_trace
 
     timer = StageTimer()
-    ev_pool = basecall.EventPool()
+    # the decode event pool only pays off if a decode stage will consume it
+    # (--no-basecall runs must not stack + ship decode rows over the wire)
+    ev_pool = basecall.EventPool() if cfg.basecall else None
     train_now = cfg.train and not args.resume_stats
     # streamed path: summarize/load each read (-t worker processes) and
     # dispatch EM chunks as buckets fill — host ingestion overlaps EM

@@ -83,7 +83,8 @@ def read_context(read_id: str):
     try:
         yield
     except Exception as e:
-        e.add_note(f"processing read [{read_id}]")
+        if hasattr(e, "add_note"):  # PEP 678, python >= 3.11
+            e.add_note(f"processing read [{read_id}]")
         raise
     finally:
         _read_ctx.reset(token)

@@ -43,6 +43,31 @@ def _sample_state_walk(n: int, K: int, p_stay: float, p_skip: float, rng):
     return states
 
 
+def sample_state_walk_batch(B: int, T: int, K: int, p_stay: float,
+                            p_skip: float, rng) -> np.ndarray:
+    """Vectorized (B, T) stay/step/skip state walk — the batch form of
+    _sample_state_walk (same collapsed-to-1 skip tail; the mass beyond
+    skip-1 is < 2% and the consumers are fixed-shape kernels).  Used by the
+    benchmark harness so the bench workload and the accuracy runs share one
+    generative process."""
+    n = kmer.n_states(K)
+    mask = n - 1
+    s = rng.integers(0, n, B)
+    states = np.empty((B, T), np.int64)
+    u = rng.random((B, T))
+    b1 = rng.integers(0, 4, (B, T))
+    b2 = rng.integers(0, 4, (B, T))
+    p_step = 1.0 - p_stay - p_skip
+    for t in range(T):
+        states[:, t] = s
+        stay = u[:, t] < p_stay
+        step = u[:, t] < p_stay + p_step
+        s_step = ((s << 2) & mask) | b1[:, t]
+        s_skip = ((s << 4) & mask) | (b1[:, t] << 2) | b2[:, t]
+        s = np.where(stay, s, np.where(step, s_step, s_skip))
+    return states
+
+
 def _emit(pm: PoreModel, states, params: PoreModelParams, t_start_s, rng,
           noise_scale: float = 1.0):
     """Event means/stdvs from the scaled model at the given times."""

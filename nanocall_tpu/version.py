@@ -27,14 +27,25 @@ def get_version() -> str:
         return _version.version
     except ImportError:
         pass
-    # 2. git describe (get-dir-version:8-12)
+    # 2. git describe (get-dir-version:8-12) — only if the working copy the
+    # package sits in is actually THIS project's checkout (a wheel installed
+    # into a venv that happens to live inside some other git repo must not
+    # describe that repo)
     try:
-        r = subprocess.run(
-            ["git", "describe", "--tags", "--always", "--dirty"],
+        top = subprocess.run(
+            ["git", "rev-parse", "--show-toplevel"],
             cwd=root, capture_output=True, text=True, timeout=5,
         )
-        if r.returncode == 0 and r.stdout.strip():
-            return f"{FALLBACK}+{r.stdout.strip()}"
+        if (
+            top.returncode == 0
+            and pathlib.Path(top.stdout.strip()).resolve() == root
+        ):
+            r = subprocess.run(
+                ["git", "describe", "--tags", "--always", "--dirty"],
+                cwd=root, capture_output=True, text=True, timeout=5,
+            )
+            if r.returncode == 0 and r.stdout.strip():
+                return f"{FALLBACK}+{r.stdout.strip()}"
     except (OSError, subprocess.TimeoutExpired):
         pass
     # 3. VERSION file (get-dir-version:14-16)

@@ -148,3 +148,48 @@ def test_read_context_annotates_exceptions():
             raise ValueError("boom")
     assert any("read-42" in n for n in ei.value.__notes__)
     assert current_read() == ""
+
+
+def test_zero_length_strand_decodes_to_empty_seq(models):
+    """A strand task with zero events (every event filtered out) must yield
+    an empty path and an empty base sequence — the compact traceback
+    encoding must not materialize a spurious [path0] state for it."""
+    from nanocall_tpu import basecall, simulate
+    from nanocall_tpu.events import EventSequence
+    from nanocall_tpu.pore_model import PoreModelParams
+    from nanocall_tpu.transitions import TransitionParams
+
+    c = cfg()
+    pm = models["r73.t.006"]
+    rng = np.random.default_rng(0)
+    L = 50
+    states = simulate.sample_state_walk_batch(1, L, 6, 0.1, 0.3, rng)[0]
+    mean, stdv = simulate._emit(pm, states, PoreModelParams(), np.zeros(L), rng)
+    ev0 = EventSequence(
+        mean=mean.astype(np.float32), stdv=stdv.astype(np.float32),
+        start=np.arange(L, dtype=np.float32) * 0.02,
+        length=np.full(L, 0.02, np.float32),
+    )
+    ev1 = EventSequence(
+        mean=np.zeros(0, np.float32), stdv=np.zeros(0, np.float32),
+        start=np.zeros(0, np.float32), length=np.zeros(0, np.float32),
+    )
+    key = ("r73.t.006", "r73.c.p1.006")
+    s = read_pipeline.ReadSummary(
+        file_name="x.fast5", base_file_name="x.fast5", read_id="r0",
+        valid=True, num_ed_events=L, scale_strands_together=True,
+    )
+    s.pm_params[key] = PoreModelParams()
+    s.st_params[key] = [TransitionParams(0.1, 0.3), TransitionParams(0.1, 0.3)]
+    tasks = [
+        basecall.DecodeTask(0, 0, key, key[0], ev0),
+        basecall.DecodeTask(0, 1, key, key[1], ev1),
+    ]
+    winners = basecall.run_decode_tasks(tasks, [s], models, c)
+    t1 = next(t for t in winners if t.strand == 1)
+    assert t1.path.shape == (0,)
+    results = basecall.select_and_assemble(winners, [s], c)
+    r1 = next(r for r in results if r.strand == 1)
+    assert r1.base_seq == ""
+    r0 = next(r for r in results if r.strand == 0)
+    assert len(r0.base_seq) > 0

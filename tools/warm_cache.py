@@ -109,15 +109,20 @@ def main():
         }
         pm0 = np.tile(np.array([1, 0, 0, 1, 1, 1], np.float32), (G, 1))
         st0 = np.tile(np.array([.1, .3], np.float32), (G, 2, 1))
-        # match production static args: max_rounds=20 (double-strand)
-        # and 10 (single-strand) are distinct compiled programs, and the
-        # two-phase driver adds a round_limit=6 phase-1 program (the
-        # phase-2 resume reuses the full-bound program shape)
+        # match production static args: phase 2's static loop bound is
+        # caps.max() = 20 (any double-strand group in the chunk) or 10
+        # (all-single-strand chunk) — distinct compiled programs — and
+        # phase 1 runs everyone with round_limit=cfg.em_phase1_rounds
+        # (caps only affect traced values, so one phase-1 program per
+        # (G, drift) covers both strand modes)
+        from nanocall_tpu.config import Config
+
         for ds in (True, False):
             cfg = train.EMConfig(max_rounds=10, double_strand=ds,
                                  train_drift=drift)
             train.run_em(ev, mdl, pm0, st0, cfg)
-            train.run_em(ev, mdl, pm0, st0, cfg, round_limit=6)
+        train.run_em(ev, mdl, pm0, st0, cfg,
+                     round_limit=Config().em_phase1_rounds)
         print(f"train G={G} drift={drift}: {time.time()-t0:.0f}s", flush=True)
 
     # decode shapes: the production batch-size quantization is {8, 64, cap}
@@ -133,11 +138,13 @@ def main():
                 # 256-512 read workload hits
                 for P in ({256} if args.quick else {128, 256, 512}):
                     run_chunk(B, T, P, wp)
-    G = 128  # cfg.train_group_batch
-    run_train(G, True)
+    # training chunk batch sizes quantize to {8, 64, cap=128} (make_buckets
+    # with cfg.train_group_batch=128); leftovers/stragglers hit 64 and 8
+    run_train(128, True)
     if not args.quick:
-        run_train(G, False)
-        run_train(8, True)  # small-tail bucket
+        run_train(128, False)
+        run_train(64, True)
+        run_train(8, True)
     print("cache warm done")
 
 
