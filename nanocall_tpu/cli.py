@@ -116,13 +116,24 @@ def config_from_args(args) -> Config:
     cfg.basecall = not args.no_basecall
     cfg.train_scaling = not args.no_train_scaling
     cfg.train_transitions = not args.no_train_transitions
-    if args.single_strand_scaling and args.double_strand_scaling:
-        raise SystemExit(
-            "either --single-strand-scaling or --double-strand-scaling may be used, but not both"
-        )
-    cfg.double_strand_scaling = not args.single_strand_scaling
-    if not (cfg.train and cfg.train_scaling):
+    # strand-scaling flags are only resolved (and conflict-checked) when
+    # scaling training is active (nanocall.cpp:1023-1038)
+    if cfg.train and cfg.train_scaling:
+        if args.single_strand_scaling and args.double_strand_scaling:
+            raise SystemExit(
+                "either --single-strand-scaling or --double-strand-scaling may be used, but not both"
+            )
+        cfg.double_strand_scaling = not args.single_strand_scaling
+    else:
         cfg.double_strand_scaling = args.double_strand_scaling
+    if args.scaling_select_threshold < 0.0:
+        raise SystemExit(
+            f"invalid scaling_select_threshold: {args.scaling_select_threshold}"
+        )
+    if args.scaling_min_progress < 0.0:
+        raise SystemExit(
+            f"invalid scaling_min_progress: {args.scaling_min_progress}"
+        )
     if args.train_drift:
         cfg.train_drift = args.train_drift == "1"
     cfg.apply_pore_preset()
@@ -191,6 +202,41 @@ def main(argv=None) -> int:
     level = set_levels_from_options(args.log)
     logging.basicConfig(level=level, format="%(name)s: %(levelname)s: %(message)s")
     cfg = config_from_args(args)
+
+    # resolved-option echo lines (nanocall.cpp:913-916,930-932,972-991,
+    # 1060-1078): structured key=value INFO lines meant for grep/awk
+    from .version import get_version
+
+    log.info("program: nanocall-tpu")
+    log.info("version: %s", get_version())
+    log.info("args: %s", " ".join(argv if argv is not None else sys.argv[1:]))
+    log.info("eventdetection_group=%s", cfg.ed_group or "smallest")
+    log.info(
+        "ed_event_trimming:  sq_start=%d sq_end=%d hp_start=%d hp_end=%d",
+        *cfg.trim_margins,
+    )
+    if not cfg.template_only:
+        log.info(
+            "hairpin_detection: abasic_level_top_percent=%g "
+            "abasic_level_top_offset=%g hairpin_island_window_size=%d "
+            "hairpin_island_window_load=%d",
+            cfg.abasic_level_top_percent, cfg.abasic_level_top_offset,
+            cfg.hairpin_island_window_size, cfg.hairpin_island_window_load,
+        )
+    else:
+        log.info("hairpin_detection: disabled")
+    log.info("train=%d", cfg.train)
+    if cfg.train:
+        log.info("train_scaling=%d", cfg.train_scaling)
+        log.info("train_transitions=%d", cfg.train_transitions)
+        if cfg.train_scaling:
+            log.info("double_strands_scaling=%d", cfg.double_strand_scaling)
+            log.info("scaling_num_events=%d", cfg.scaling_num_events)
+            log.info("scaling_max_rounds=%d", cfg.scaling_max_rounds)
+            log.info("scaling_min_progress=%g", cfg.scaling_min_progress)
+            log.info("scaling_select_threshold=%g", cfg.scaling_select_threshold)
+            log.info("train_drift=%d", bool(cfg.train_drift))
+    log.info("basecall=%d", cfg.basecall)
 
     from .observe import enable_compilation_cache
     from .parallel import multihost

@@ -407,3 +407,34 @@ def test_event_pool_bucket_inline_fallback(models):
     host = np.asarray(dev["mean"])
     for t, ri in zip(tasks, idx):
         assert np.array_equal(host[ri, :L], t.ev.mean)
+
+
+def test_cli_option_validation_matches_reference():
+    """Flag-resolution edge semantics (nanocall.cpp:1023-1052): strand-
+    scaling conflicts only matter while scaling training is active, and
+    negative thresholds are config errors."""
+    import pytest
+
+    def cfg_of(argv):
+        return config_from_args(build_parser().parse_args(argv + ["x.fast5"]))
+
+    with pytest.raises(SystemExit):
+        cfg_of(["--single-strand-scaling", "--double-strand-scaling"])
+    # same conflict is IGNORED when not training scaling (reference scopes
+    # the check under `train and not no_train_scaling`)
+    c = cfg_of(["--no-train", "--single-strand-scaling",
+                "--double-strand-scaling"])
+    assert c.double_strand_scaling  # explicit flag carries through
+    # not training scaling: only the explicit --double-strand-scaling flag
+    # counts, so --single-strand-scaling alone leaves it off
+    c = cfg_of(["--no-train-scaling", "--single-strand-scaling"])
+    assert not c.double_strand_scaling
+    with pytest.raises(SystemExit):
+        cfg_of(["--scaling-select-threshold", "-1"])
+    with pytest.raises(SystemExit):
+        cfg_of(["--scaling-min-progress", "-0.5"])
+    # defaults: double-strand scaling on while training
+    assert cfg_of([]).double_strand_scaling
+    # not training scaling and no explicit flag -> off (reference leaves
+    # the switch unset)
+    assert not cfg_of(["--no-train"]).double_strand_scaling
