@@ -3,10 +3,9 @@
 
 Headline: Viterbi decode throughput (events/s) on one TPU chip — forward
 scan + traceback + host base-sequence assembly over a realistic batched
-workload (B reads x T events, 4096-state R7.3 model), versus the measured
-8-thread CPU baseline (baseline/cpu_nanocall.cpp, the reference's exact DP
-inner loop; see BASELINE.md — the reference binary itself is unbuildable
-here because its vendored submodules are absent).
+workload (B reads x T events, 4096-state R7.3 model), versus a 4-core CPU
+baseline derived from the REAL compiled reference run-viterbi's measured
+single-core rate (tools/baseline_spotcheck.py; see BASELINE.md).
 
 Usage: python bench.py [--reads N] [--events T] [--quick]
 """
