@@ -1,11 +1,15 @@
 """Builtin pore models.
 
-Ships the R7.3 6-mer pore-model tables (ONT-provided data, identical to the
-reference's src/builtin_models/*.ont.model TSVs) packed in builtin.npz by
-tools/make_builtin_models.py, replacing the reference's compile-time .inl
-embedding (Builtin_Model.{hpp,cpp}).  The r9 models are fetched at build
-time by the reference and are not part of its source snapshot; supply them
-as user model files (-m/--model) if needed.
+Ships all six builtin 6-mer pore-model tables (ONT-provided data) packed in
+builtin.npz by tools/make_builtin_models.py, replacing the reference's
+compile-time .inl embedding (Builtin_Model.{hpp,cpp}).  The R7.3 tables are
+identical to the reference's src/builtin_models/r73.*.ont.model TSVs; the
+R9 tables come from the snapshot's generated initializer lists
+(builtin_model_init_lists.inl entries 4-6, extracted by
+tools/extract_builtin_inl.py — the r9 *.ont.model TSVs themselves are
+gitignored in the reference, but the compiled binary embeds the data, so
+--pore r9 works there and must work here).  The extraction is parse-checked
+by regenerating the r73 tables from the same .inl bit-for-bit.
 """
 
 from __future__ import annotations

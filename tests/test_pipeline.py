@@ -438,3 +438,37 @@ def test_cli_option_validation_matches_reference():
     # not training scaling and no explicit flag -> off (reference leaves
     # the switch unset)
     assert not cfg_of(["--no-train"]).double_strand_scaling
+
+
+def test_r9_builtin_models_load():
+    """--pore r9 must work from builtins: the reference snapshot embeds the
+    r9 tables in its generated .inl initializer lists (the *.ont.model TSVs
+    are gitignored but Builtin_Model.cpp compiles the data in), so the
+    reference binary ships six models and the rebuild does too."""
+    ms = load_builtin_models("r9")
+    assert sorted(ms) == ["r9.c.p1.007", "r9.c.p2.007", "r9.t.007"]
+    assert [ms[n].strand for n in sorted(ms)] == [1, 1, 0]
+    # distinct data, not r73 renamed
+    r73 = load_builtin_models("r73")
+    assert abs(ms["r9.t.007"].mean() - r73["r73.t.006"].mean()) > 5.0
+
+
+def test_r9_end_to_end(tmp_path):
+    """Full CLI pipeline with --pore r9 (preset: abasic offset 0, hairpin
+    window 10/5, no drift training) on a read simulated from r9.t.007."""
+    models = load_builtin_models("r9")
+    d = tmp_path / "fast5"
+    d.mkdir()
+    rng = np.random.default_rng(7)
+    truth = simulate.write_sim_fast5(
+        d / "r9read.fast5", models, "r9.t.007", None, 400, rng,
+        read_id="r9read", noise_scale=0.5,
+    )
+    out = tmp_path / "out.fa"
+    rc = cli_main([str(d), "-o", str(out), "--pore", "r9", "--1d"])
+    assert rc == 0
+    text = out.read_text()
+    assert text.count(">") == 1
+    seq = "".join(l for l in text.splitlines() if not l.startswith(">"))
+    ident = simulate.identity(seq, truth.base_seqs[0])
+    assert ident > 0.6, ident
