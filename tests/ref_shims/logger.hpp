@@ -11,13 +11,21 @@
 #ifndef __LOGGER_SHIM_HPP
 #define __LOGGER_SHIM_HPP
 
-#include <iomanip>  // the real hpptools logger pulls this in transitively;
-                    // State_Transitions.hpp:47 relies on it
+#include <algorithm>  // the real hpptools headers pull these in
+#include <iomanip>    // transitively; State_Transitions.hpp:47 and
+#include <list>       // nanocall.cpp:111,198 (std::list without <list>)
+#include <set>        // rely on them
 #include <iostream>
 #include <string>
 
 namespace logger
 {
+
+// level constants (nanocall.cpp:911 passes logger::level::info)
+namespace level
+{
+enum level_enum { error, warning, info, debug, debug1, debug2 };
+}
 
 struct Null_Stream
 {

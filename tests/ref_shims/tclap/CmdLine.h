@@ -1,11 +1,13 @@
 // Shim for the missing tclap submodule (/root/reference/.gitmodules:7-9,
-// a fork of tclap).  Reconstructed from the dev tools' usage only
+// a fork of tclap).  Reconstructed from call sites: the dev tools
 // (run-viterbi.cpp:27-36, run-fwbw.cpp:29-42,
-// compute-state-transitions.cpp:16-29): CmdLine, ValueArg<T>, MultiArg<T>,
-// SwitchArg, `.get()`, and the fork's implicit `operator T()` conversion
-// (e.g. `opts::p_skip` passed directly as a float,
-// compute-state-transitions.cpp:36).  Supports `--long VALUE`, `-s VALUE`
-// and boolean switches; that is the full surface the tools exercise.
+// compute-state-transitions.cpp:16-29) use CmdLine, ValueArg<T>,
+// MultiArg<T>, SwitchArg, `.get()`, and the fork's implicit `operator T()`
+// conversion; the full driver (nanocall.cpp:50-95,908-915) additionally
+// uses the 3-arg CmdLine ctor, UnlabeledMultiArg (positional inputs),
+// mutable `.get()` (e.g. `opts::train_drift.get() = "0"`,
+// nanocall.cpp:950), SwitchArg::set (nanocall.cpp:1005), and
+// getProgramName/getVersion/getOrigArgv.
 #ifndef __TCLAP_SHIM_CMDLINE_H
 #define __TCLAP_SHIM_CMDLINE_H
 
@@ -24,14 +26,25 @@ class Arg_Base;
 class CmdLine
 {
 public:
-    explicit CmdLine(const std::string& description) : _description(description) {}
+    explicit CmdLine(const std::string& description,
+                     char /*delim*/ = ' ', const std::string& version = "")
+        : _description(description), _version(version) {}
 
     void add(Arg_Base* a) { _args.push_back(a); }
+    void set_unlabeled(Arg_Base* a) { _unlabeled = a; }
     void parse(int argc, char* argv[]);
+
+    const std::string& getProgramName() const { return _program_name; }
+    const std::string& getVersion() const { return _version; }
+    const std::string& getOrigArgv() const { return _orig_argv; }
 
 private:
     std::string _description;
+    std::string _version;
+    std::string _program_name;
+    std::string _orig_argv;
     std::vector< Arg_Base* > _args;
+    Arg_Base* _unlabeled = nullptr;
 }; // class CmdLine
 
 class Arg_Base
@@ -76,7 +89,9 @@ public:
         : Arg_Base(short_name, long_name, required, true, cmd),
           _value(default_value) {}
 
+    T& get() { return _value; }  // the fork's get() is mutable (nanocall.cpp:950)
     const T& get() const { return _value; }
+    void set(const T& v) { _value = v; _was_set = true; }
     operator T() const { return _value; }
 
     void set_from(const std::string& v) override
@@ -141,6 +156,7 @@ public:
           _value(default_value) {}
 
     bool get() const { return _value; }
+    void set(bool v) { _value = v; _was_set = true; }
     operator bool() const { return _value; }
 
     void set_from(const std::string&) override
@@ -153,11 +169,70 @@ private:
     bool _value;
 }; // class SwitchArg
 
+// positional arguments (nanocall.cpp:94: input files)
+template < typename T >
+class UnlabeledMultiArg : public Arg_Base
+{
+public:
+    typedef typename std::vector< T >::const_iterator const_iterator;
+
+    UnlabeledMultiArg(const std::string& /*name*/, const std::string& /*desc*/,
+                      bool required, const std::string& /*type_desc*/,
+                      CmdLine& cmd)
+        : Arg_Base("", "", required, true, cmd)
+    {
+        cmd.set_unlabeled(this);
+    }
+
+    const std::vector< T >& get() const { return _values; }
+    const_iterator begin() const { return _values.begin(); }
+    const_iterator end() const { return _values.end(); }
+
+    void set_from(const std::string& v) override
+    {
+        std::istringstream iss(v);
+        T x;
+        iss >> x;
+        _values.push_back(x);
+        _was_set = true;
+    }
+
+private:
+    std::vector< T > _values;
+}; // class UnlabeledMultiArg
+
+template <>
+inline void UnlabeledMultiArg< std::string >::set_from(const std::string& v)
+{
+    _values.push_back(v);
+    _was_set = true;
+}
+
 inline void CmdLine::parse(int argc, char* argv[])
 {
+    _program_name = argc > 0 ? argv[0] : "";
+    {
+        std::ostringstream oss;
+        for (int i = 0; i < argc; ++i)
+        {
+            if (i) oss << ' ';
+            oss << argv[i];
+        }
+        _orig_argv = oss.str();
+    }
     for (int i = 1; i < argc; ++i)
     {
         std::string tok(argv[i]);
+        if (tok == "--version")
+        {
+            std::cout << _version << std::endl;
+            std::exit(EXIT_SUCCESS);
+        }
+        if (tok == "--help" or tok == "-h")
+        {
+            std::cout << _description << std::endl;
+            std::exit(EXIT_SUCCESS);
+        }
         Arg_Base* hit = nullptr;
         for (auto* a : _args)
         {
@@ -169,6 +244,13 @@ inline void CmdLine::parse(int argc, char* argv[])
         }
         if (hit == nullptr)
         {
+            // non-option token: positional input (UnlabeledMultiArg)
+            if (_unlabeled != nullptr and
+                (tok.empty() or tok[0] != '-' or tok == "-"))
+            {
+                _unlabeled->set_from(tok);
+                continue;
+            }
             std::cerr << "unknown option: " << tok << std::endl;
             std::exit(EXIT_FAILURE);
         }

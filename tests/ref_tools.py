@@ -68,3 +68,55 @@ def run_tool(exe: str, *args: str) -> str:
     if r.returncode != 0:
         raise RuntimeError(f"{exe} failed ({r.returncode}): {r.stderr[:2000]}")
     return r.stdout
+
+REF_BUILTIN = pathlib.Path("/root/reference/src/builtin_models")
+
+
+def build_ref_nanocall() -> str | None:
+    """Compile the FULL reference `nanocall` binary from /root/reference
+    sources against the shim headers (fast5 -> f5txt text bundles, serial
+    pfor, extended tclap/alg/logger; see tests/ref_shims/).  This is the
+    reference's entire driver — nanocall.cpp + Builtin_Model.cpp compiled
+    verbatim — enabling whole-pipeline FASTA/stats golden tests.
+
+    Returns the exe path, or None when unavailable (tests skip)."""
+    if not REF_SRC.is_dir() or shutil.which("g++") is None:
+        return None
+    BUILD.mkdir(parents=True, exist_ok=True)
+    exe = BUILD / "nanocall"
+    srcs = [REF_SRC / "nanocall.cpp", REF_SRC / "Builtin_Model.cpp"]
+    dep_mtime = max(
+        [p.stat().st_mtime for p in SHIMS.rglob("*") if p.is_file()]
+        + [p.stat().st_mtime for p in REF_SRC.glob("*.hpp")]
+        + [p.stat().st_mtime for p in srcs]
+    )
+    if not exe.exists() or exe.stat().st_mtime < dep_mtime:
+        cmd = [
+            "g++", "-O2", "-std=c++11", "-pthread",
+            f"-I{SHIMS}", f"-I{REF_SRC}", f"-I{REF_BUILTIN}",
+            "-o", str(exe), *[str(s) for s in srcs],
+        ]
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"failed to build reference nanocall:\n{r.stderr[:6000]}"
+            )
+    return str(exe)
+
+
+def export_f5txt(fast5_path: str, out_path: str) -> None:
+    """Export a fast5's EventDetection data as the f5txt text bundle the
+    shimmed fast5::File reads (tests/ref_shims/fast5.hpp), so the reference
+    binary consumes the IDENTICAL event arrays our h5py reader returns."""
+    from nanocall_tpu import fast5_io
+
+    with fast5_io.Fast5File(fast5_path) as f:
+        ed = f.get_eventdetection_events()
+    with open(out_path, "w") as fh:
+        fh.write("#nanocall-f5txt v1\n")
+        fh.write(f"sampling_rate {float(ed.sampling_rate)!r}\n")
+        fh.write(f"read_id {ed.read_id}\n")
+        fh.write(f"n_events {len(ed.mean)}\n")
+        for m, s, st, ln in zip(ed.mean, ed.stdv, ed.start, ed.length):
+            # repr of python floats round-trips the doubles exactly
+            fh.write(f"{float(m)!r} {float(s)!r} {float(st)!r} {float(ln)!r}\n")
