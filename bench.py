@@ -170,7 +170,7 @@ def measure_e2e(n_reads: int, n_events: int, train: bool) -> dict:
                 "r73.c.p1.006" if i % 2 else None, n_events, rng,
                 read_id=f"r{i}", noise_scale=0.7,
             )
-        cfg = Config(train=train).apply_pore_preset()
+        cfg = Config(pore="r73", train=train).apply_pore_preset()
         files = read_pipeline.init_files([d])
 
         def run_once():

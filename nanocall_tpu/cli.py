@@ -62,7 +62,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-fofn", default="")
     p.add_argument("-m", "--model", action="append", default=[],
                    help="custom pore model 'strand:file' (0=template, 1=complement, 2=both)")
-    p.add_argument("--pore", default="r73", choices=["r73", "r9"])
+    p.add_argument("--pore", default="r9", choices=["r73", "r9"])
     p.add_argument("--write-fast5", action="store_true")
     p.add_argument("-o", "--output", default="")
     p.add_argument("-t", "--threads", type=int, default=-1,
@@ -209,7 +209,10 @@ def main(argv=None) -> int:
 
     log.info("program: nanocall-tpu")
     log.info("version: %s", get_version())
-    log.info("args: %s", " ".join(argv if argv is not None else sys.argv[1:]))
+    # getOrigArgv() includes the program name (nanocall.cpp:915)
+    prog = sys.argv[0] if argv is None else "nanocall-tpu"
+    log.info("args: %s", " ".join([prog] + list(argv if argv is not None else sys.argv[1:])))
+    log.info("num_threads=%d", args.threads)
     log.info("eventdetection_group=%s", cfg.ed_group or "smallest")
     log.info(
         "ed_event_trimming:  sq_start=%d sq_end=%d hp_start=%d hp_end=%d",

@@ -14,8 +14,8 @@ import dataclasses
 @dataclasses.dataclass
 class Config:
     # model selection
-    pore: str = "r73"  # reference default is r9, but r9 builtin models are
-    # fetched at build time and absent from the snapshot; r73 models ship.
+    pore: str = "r9"  # reference default (nanocall.cpp:91); both r73 and
+    # r9 builtin model banks ship in models/builtin.npz.
     model_files: list = dataclasses.field(default_factory=list)  # "strand:file"
     model_fofn: str = ""
     trans_file: str = ""

@@ -69,6 +69,18 @@ def run_tool(exe: str, *args: str) -> str:
         raise RuntimeError(f"{exe} failed ({r.returncode}): {r.stderr[:2000]}")
     return r.stdout
 
+
+def parse_fasta(text: str) -> dict:
+    """FASTA text -> {record name: sequence}; ignores pre-header lines."""
+    recs, name = {}, None
+    for line in text.splitlines():
+        if line.startswith(">"):
+            name = line[1:]
+            recs[name] = ""
+        elif name is not None:
+            recs[name] += line.strip()
+    return recs
+
 REF_BUILTIN = pathlib.Path("/root/reference/src/builtin_models")
 
 
@@ -88,6 +100,7 @@ def build_ref_nanocall() -> str | None:
     dep_mtime = max(
         [p.stat().st_mtime for p in SHIMS.rglob("*") if p.is_file()]
         + [p.stat().st_mtime for p in REF_SRC.glob("*.hpp")]
+        + [p.stat().st_mtime for p in REF_BUILTIN.glob("*.inl")]
         + [p.stat().st_mtime for p in srcs]
     )
     if not exe.exists() or exe.stat().st_mtime < dep_mtime:

@@ -34,7 +34,7 @@ def sim_dir(tmp_path_factory, models):
 
 def test_summarize_template_only(sim_dir, models):
     d, truths = sim_dir
-    cfg = Config().apply_pore_preset()
+    cfg = Config(pore="r73").apply_pore_preset()
     s = read_pipeline.summarize(str(d / "read_t0.fast5"), models, cfg)
     assert s.num_ed_events > 0
     assert s.read_id == "read_t0"
@@ -48,7 +48,7 @@ def test_summarize_template_only(sim_dir, models):
 
 def test_summarize_two_strand(sim_dir, models):
     d, truths = sim_dir
-    cfg = Config().apply_pore_preset()
+    cfg = Config(pore="r73").apply_pore_preset()
     s = read_pipeline.summarize(str(d / "read_2d.fast5"), models, cfg)
     assert s.num_ed_events > 0
     b = s.strand_bounds
@@ -61,7 +61,7 @@ def test_summarize_two_strand(sim_dir, models):
 
 def test_end_to_end_basecall_no_train(sim_dir, models):
     d, truths = sim_dir
-    cfg = Config(train=False, scaling_select_threshold=np.inf).apply_pore_preset()
+    cfg = Config(pore="r73", train=False, scaling_select_threshold=np.inf).apply_pore_preset()
     cfg.double_strand_scaling = False
     files = read_pipeline.init_files([str(d)])
     assert len(files) == 3
@@ -79,7 +79,7 @@ def test_end_to_end_basecall_no_train(sim_dir, models):
 
 def test_end_to_end_with_training(sim_dir, models):
     d, truths = sim_dir
-    cfg = Config().apply_pore_preset()
+    cfg = Config(pore="r73").apply_pore_preset()
     files = read_pipeline.init_files([str(d)])
     summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
     basecall.train_reads(summaries, models, cfg)
@@ -175,7 +175,7 @@ def test_trans_mixed_chunk_uses_loaded_table(sim_dir, models, tmp_path):
     from nanocall_tpu import transitions
 
     d, truths = sim_dir
-    cfg = Config(train=False, scaling_select_threshold=np.inf).apply_pore_preset()
+    cfg = Config(pore="r73", train=False, scaling_select_threshold=np.inf).apply_pore_preset()
     cfg.double_strand_scaling = False
     files = read_pipeline.init_files([str(d)])
     summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
@@ -241,7 +241,7 @@ def test_two_phase_em_matches_single_phase(sim_dir, models):
     files = read_pipeline.init_files([str(d)])
 
     def run(phase1):
-        cfg = Config(em_phase1_rounds=phase1).apply_pore_preset()
+        cfg = Config(pore="r73", em_phase1_rounds=phase1).apply_pore_preset()
         summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
         basecall.train_reads(summaries, models, cfg)
         results = basecall.basecall_reads(summaries, models, cfg)
@@ -277,12 +277,12 @@ def test_streamed_matches_staged(sim_dir, models):
         }
         return params, [(r.seq_name, r.base_seq) for r in results]
 
-    cfg = Config().apply_pore_preset()
+    cfg = Config(pore="r73").apply_pore_preset()
     staged = [read_pipeline.summarize(f, models, cfg) for f in files]
     basecall.train_reads(staged, models, cfg)
     snap_staged = snapshot(staged, basecall.basecall_reads(staged, models, cfg))
 
-    cfg2 = Config().apply_pore_preset()
+    cfg2 = Config(pore="r73").apply_pore_preset()
     pool = basecall.EventPool()
     streamed = basecall.summarize_and_train(files, models, cfg2, ev_pool=pool)
     assert [s.read_id for s in streamed] == [s.read_id for s in staged]
@@ -316,8 +316,8 @@ def test_ingest_pool_matches_inprocess(sim_dir, models, monkeypatch):
             ))
         return out
 
-    cfg_seq = Config(ingest_workers=1).apply_pore_preset()
-    cfg_pool = Config(ingest_workers=2).apply_pore_preset()
+    cfg_seq = Config(pore="r73", ingest_workers=1).apply_pore_preset()
+    cfg_pool = Config(pore="r73", ingest_workers=2).apply_pore_preset()
     seq = snap(ingest.ingest_stream(files, models, cfg_seq))
     try:
         pool = snap(ingest.ingest_stream(files, models, cfg_pool))
@@ -472,3 +472,31 @@ def test_r9_end_to_end(tmp_path):
     seq = "".join(l for l in text.splitlines() if not l.startswith(">"))
     ident = simulate.identity(seq, truth.base_seqs[0])
     assert ident > 0.6, ident
+
+
+def test_cli_defaults_and_echo_lines(tmp_path, caplog):
+    """Reference CLI parity: --pore defaults to r9 (nanocall.cpp:91), the
+    'args:' echo includes the program name (getOrigArgv, nanocall.cpp:915),
+    and a num_threads= line is emitted (nanocall.cpp:916)."""
+    assert build_parser().parse_args([str(tmp_path)]).pore == "r9"
+    assert Config().pore == "r9"
+
+    models = load_builtin_models("r9")
+    d = tmp_path / "fast5"
+    d.mkdir()
+    rng = np.random.default_rng(11)
+    simulate.write_sim_fast5(
+        d / "r.fast5", models, "r9.t.007", None, 300, rng,
+        read_id="r", noise_scale=0.5,
+    )
+    out = tmp_path / "out.fa"
+    import logging as _logging
+
+    with caplog.at_level(_logging.INFO):
+        rc = cli_main([str(d), "-o", str(out), "--no-train", "--1d"])
+    assert rc == 0
+    msgs = [r.getMessage() for r in caplog.records]
+    args_lines = [m for m in msgs if m.startswith("args: ")]
+    assert args_lines and args_lines[0].split()[1] == "nanocall-tpu"
+    assert any(m.startswith("num_threads=") for m in msgs)
+    assert any(m == "train=0" for m in msgs)

@@ -81,7 +81,7 @@ def run_ours(inputs, out_dir, tag, *flags):
     return fa.read_text(), stats.read_text()
 
 
-def assert_stats_match(ref_text, my_text, float_rtol, require_same_rounds=False):
+def assert_stats_match(ref_text, my_text, float_rtol):
     ref_lines = ref_text.strip().splitlines()
     my_lines = my_text.strip().splitlines()
     assert ref_lines[0] == my_lines[0]  # identical column header
@@ -141,17 +141,7 @@ def test_full_pipeline_trained_fasta(ref_nanocall, datasets):
     if ref_fa != my_fa:
         # diagnose before failing: per-record identity (fp divergence in EM
         # can legitimately flip a near-tie base; require near-identity)
-        def records(t):
-            recs, name = {}, None
-            for line in t.splitlines():
-                if line.startswith(">"):
-                    name = line[1:]
-                    recs[name] = ""
-                else:
-                    recs[name] += line
-            return recs
-
-        r, m = records(ref_fa), records(my_fa)
+        r, m = ref_tools.parse_fasta(ref_fa), ref_tools.parse_fasta(my_fa)
         assert sorted(r) == sorted(m)
         idents = {k: simulate.identity(r[k], m[k]) for k in r}
         # measured on held-out datasets: strands are either byte-identical

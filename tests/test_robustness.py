@@ -15,7 +15,7 @@ def models():
 
 
 def cfg():
-    return Config().apply_pore_preset()
+    return Config(pore="r73").apply_pore_preset()
 
 
 def test_corrupt_file_is_skipped(tmp_path, models):

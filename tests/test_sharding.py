@@ -126,7 +126,7 @@ def test_sharded_pipeline_equals_single(tmp_path):
     import io
 
     def run(num_shards):
-        cfg = Config(train=False, num_shards=num_shards).apply_pore_preset()
+        cfg = Config(pore="r73", train=False, num_shards=num_shards).apply_pore_preset()
         cfg.template_only = True
         files = read_pipeline.init_files([str(d)])
         summaries = [read_pipeline.summarize(f, models, cfg) for f in files]

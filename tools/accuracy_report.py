@@ -68,7 +68,7 @@ def main():
                     os.path.join(d, f"r{i}.fast5"), models, "r73.t.006", None,
                     args.events, rng, read_id=f"r{i}", noise_scale=noise,
                 )
-            cfg = Config().apply_pore_preset()
+            cfg = Config(pore="r73").apply_pore_preset()
             files = read_pipeline.init_files([d])
             summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
             basecall.train_reads(summaries, models, cfg)
@@ -90,14 +90,7 @@ def main():
                     ref_tools.export_f5txt(f, b)
                     bundles.append(b)
                 fa = ref_tools.run_tool(ref_exe, "--pore", "r73", *bundles)
-                recs, name = {}, None
-                for line in fa.splitlines():
-                    if line.startswith(">"):
-                        name = line[1:]
-                        recs[name] = ""
-                    elif name:
-                        recs[name] += line
-                for name, seq in recs.items():
+                for name, seq in ref_tools.parse_fasta(fa).items():
                     rid = name.split(":")[0]
                     if rid in truths and name.endswith(":0"):
                         ref_idents.append(
