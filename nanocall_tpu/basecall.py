@@ -135,6 +135,94 @@ def build_train_groups(summaries, models, cfg, ev_pool=None):
     return groups
 
 
+def _dump_group_training_data(grp, summary, models, cfg: Config, out_dir):
+    """Write the reference's DUMP_TRAINING_DATA TSVs for one (read,
+    candidate) group (Parameter_Trainer.hpp:157-221): per training
+    subsequence k, emissions.k.tab (T x n log emission of the
+    drift-corrected events under the scaled candidate model),
+    transitions.k.tab (dense n x n log transition table, -1000 filler for
+    absent transitions), and fw.k.tab / bw.k.tab (the forward-backward
+    alpha/beta matrices) — the offline-numerics debugging bundle."""
+    import io
+    import os
+
+    params = summary.pm_params[grp.key]
+    stp = summary.st_params[grp.key]
+    _, to_idx, _, _ = transitions._slot_maps(cfg.kmer_size)
+    dense_cache = {}  # formatted dense table bytes per (p_stay, p_skip)
+
+    def dense_bytes(table):
+        key = (table.params.p_stay, table.params.p_skip)
+        if key not in dense_cache:
+            # n x n rows are the -1000 filler except <= 21 real neighbours:
+            # format only those (np.savetxt on 4096^2 values takes ~30 s)
+            n = table.n_states
+            filler = ["-1000"] * n
+            out = io.StringIO()
+            for i in range(n):
+                row = filler.copy()
+                for k in range(to_idx.shape[0]):
+                    v = table.to_logp[k, i]
+                    if np.isfinite(v):
+                        row[to_idx[k, i]] = "%g" % v
+                out.write("\t".join(row))
+                out.write("\n")
+            dense_cache[key] = out.getvalue().encode()
+        return dense_cache[key]
+
+    for k, (ev, strand) in enumerate(grp.seqs):
+        pm = models[grp.model_names[strand]].scaled(params)
+        table = transitions.build_structured(stp[strand], cfg.kmer_size)
+        ops = hmm.make_trans_ops(table)
+        model = hmm.make_model_arrays(*pm.state_arrays())
+        batch = events_mod.pad_batch(
+            [ev], drifts=np.asarray([params.drift], np.float32)
+        )
+        out = hmm.fwbw(ops, model, batch, keep_emissions=True)
+        T = len(ev)
+
+        def save(name, mat):
+            np.savetxt(os.path.join(out_dir, f"{name}.{k}.tab"),
+                       np.asarray(mat), fmt="%g", delimiter="\t")
+
+        save("emissions", np.asarray(out["em"])[0, :T])
+        with open(os.path.join(out_dir, f"transitions.{k}.tab"), "wb") as fh:
+            # chunked: one >50MB write() measures ~40x slower than 1MB
+            # chunks on this filesystem
+            mv = memoryview(dense_bytes(table))
+            for off in range(0, len(mv), 1 << 20):
+                fh.write(mv[off:off + (1 << 20)])
+        save("fw", np.asarray(out["alpha"])[0, :T])
+        save("bw", np.asarray(out["beta"])[0, :T])
+
+
+def dump_training_data(summaries, models, cfg: Config, out_dir="."):
+    """DUMP_TRAINING_DATA parity: dump the first trainable read's first
+    candidate group's training-round inputs as TSVs, then stop (the
+    reference abort()s after dumping, Parameter_Trainer.hpp:220).  Returns
+    the dumped group, or None if no read can train."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for ridx, s in enumerate(summaries):
+        if s.num_ed_events == 0:
+            continue
+        evs = read_pipeline.load_events(s, cfg)
+        groups = _read_train_groups(ridx, s, models, cfg, evs)
+        if not groups:
+            continue
+        grp = groups[0]
+        _dump_group_training_data(grp, s, models, cfg, out_dir)
+        log.info(
+            "dumped training data for read [%s] model [%s] (%d subsequences)"
+            " to [%s]",
+            s.read_id, "+".join(n for n in grp.key if n), len(grp.seqs),
+            out_dir,
+        )
+        return grp
+    return None
+
+
 def pack_train_batch(groups, summaries, models, cfg, pad_T=None, pad_G=None):
     """Pack TrainGroups into the arrays consumed by train.train_one_round.
 

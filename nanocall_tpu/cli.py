@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace-dir", default="", help="write a JAX profiler trace here")
     p.add_argument("--resume-stats", default="",
                    help="resume from a --stats TSV of a previous run (skips training)")
+    p.add_argument("--dump-training-data", default="", metavar="DIR",
+                   help="debug: dump the first candidate's training-round "
+                   "inputs (emissions/transitions/fw/bw TSVs) to DIR and "
+                   "exit (the reference's DUMP_TRAINING_DATA hook)")
     # multi-host (pod slice) execution
     p.add_argument("--coordinator", default="",
                    help="multi-host coordinator address host:port")
@@ -263,6 +267,18 @@ def main(argv=None) -> int:
                  args.host_id, args.num_hosts, len(files), cfg.output)
     for f in files:
         log.info("adding input file [%s]", f)
+
+    if args.dump_training_data:
+        import os
+
+        os.makedirs(args.dump_training_data, exist_ok=True)
+        summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
+        grp = basecall.dump_training_data(
+            summaries, models, cfg, args.dump_training_data
+        )
+        if grp is None:
+            raise SystemExit("no trainable read to dump")
+        return 0
 
     from .observe import StageTimer, device_trace
 

@@ -500,3 +500,49 @@ def test_cli_defaults_and_echo_lines(tmp_path, caplog):
     assert args_lines and args_lines[0].split()[1] == "nanocall-tpu"
     assert any(m.startswith("num_threads=") for m in msgs)
     assert any(m == "train=0" for m in msgs)
+
+
+def test_dump_training_data(tmp_path):
+    """--dump-training-data writes the reference's DUMP_TRAINING_DATA bundle
+    (Parameter_Trainer.hpp:157-221): per training subsequence k, emissions /
+    transitions / fw / bw TSVs with the reference's shapes and invariants
+    (alpha0 = em0 - log n; posteriors sum to 1; dense transition rows carry
+    the fast table's mass, which drops skip>=2 tails without renormalizing)."""
+    models = load_builtin_models("r73")
+    d = tmp_path / "fast5"
+    d.mkdir()
+    rng = np.random.default_rng(5)
+    simulate.write_sim_fast5(
+        d / "r.fast5", models, "r73.t.006", None, 300, rng,
+        read_id="r", noise_scale=0.5,
+    )
+    dump = tmp_path / "dump"
+    rc = cli_main([str(d), "--pore", "r73", "--scaling-num-events", "60",
+                   "--dump-training-data", str(dump)])
+    assert rc == 0
+    # a 1D read trains on 2 subsequences -> k in {0, 1}
+    for k in (0, 1):
+        for stem in ("emissions", "transitions", "fw", "bw"):
+            assert (dump / f"{stem}.{k}.tab").exists()
+    assert not (dump / "emissions.2.tab").exists()
+    em = np.loadtxt(dump / "emissions.0.tab")
+    fw = np.loadtxt(dump / "fw.0.tab")
+    bw = np.loadtxt(dump / "bw.0.tab")
+    n = 4096
+    assert em.shape == fw.shape == bw.shape == (30, n)
+    assert np.allclose(fw[0], em[0] - np.log(n), atol=2e-4)
+    lpd = np.logaddexp.reduce(fw[-1])
+    post = np.exp(fw + bw - lpd)
+    assert np.allclose(post.sum(1), 1.0, atol=1e-3)
+    # the dense transition dump is 4096x4096; spot-check the first rows
+    # rather than np.loadtxt'ing 16.7M values
+    with open(dump / "transitions.0.tab") as fh:
+        n_rows = 0
+        for i, line in enumerate(fh):
+            n_rows += 1
+            if i < 64:
+                row = np.fromstring(line, sep="\t")
+                assert row.shape == (n,)
+                mass = np.exp(row).sum()
+                assert 0.9 < mass <= 1.0 + 1e-4, (i, mass)
+    assert n_rows == n
