@@ -84,7 +84,15 @@ def parse_fasta(text: str) -> dict:
 REF_BUILTIN = pathlib.Path("/root/reference/src/builtin_models")
 
 
-def build_ref_nanocall() -> str | None:
+def build_ref_nanocall_dump() -> str | None:
+    """Like build_ref_nanocall, but compiled with -DDUMP_TRAINING_DATA: the
+    binary dumps emissions/transitions/fw/bw TSVs into its CWD on the first
+    fill_train_data call and abort()s (Parameter_Trainer.hpp:157-221) —
+    the golden source for our --dump-training-data output."""
+    return build_ref_nanocall(dump_training_data=True)
+
+
+def build_ref_nanocall(dump_training_data: bool = False) -> str | None:
     """Compile the FULL reference `nanocall` binary from /root/reference
     sources against the shim headers (fast5 -> f5txt text bundles, serial
     pfor, extended tclap/alg/logger; see tests/ref_shims/).  This is the
@@ -95,7 +103,7 @@ def build_ref_nanocall() -> str | None:
     if not REF_SRC.is_dir() or shutil.which("g++") is None:
         return None
     BUILD.mkdir(parents=True, exist_ok=True)
-    exe = BUILD / "nanocall"
+    exe = BUILD / ("nanocall_dump" if dump_training_data else "nanocall")
     srcs = [REF_SRC / "nanocall.cpp", REF_SRC / "Builtin_Model.cpp"]
     dep_mtime = max(
         [p.stat().st_mtime for p in SHIMS.rglob("*") if p.is_file()]
@@ -107,6 +115,7 @@ def build_ref_nanocall() -> str | None:
         cmd = [
             "g++", "-O2", "-std=c++11", "-pthread",
             f"-I{SHIMS}", f"-I{REF_SRC}", f"-I{REF_BUILTIN}",
+            *(["-DDUMP_TRAINING_DATA"] if dump_training_data else []),
             "-o", str(exe), *[str(s) for s in srcs],
         ]
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)

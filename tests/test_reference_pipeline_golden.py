@@ -20,6 +20,8 @@ Notes on comparisons:
   the decoded BASES are identical).
 """
 
+import subprocess
+
 import numpy as np
 import pytest
 
@@ -149,3 +151,48 @@ def test_full_pipeline_trained_fasta(ref_nanocall, datasets):
         # drift); 0.99 is the robust floor
         assert min(idents.values()) > 0.99, idents
     assert_stats_match(ref_stats, my_stats, float_rtol=0.02)
+
+
+def test_dump_training_data_golden(datasets, tmp_path):
+    """--dump-training-data vs the reference compiled with
+    -DDUMP_TRAINING_DATA (Parameter_Trainer.hpp:157-221): on the same 1D
+    read both must dump 2 training subsequences whose emissions / fw / bw
+    matrices agree to text precision (both sides print 6 significant
+    digits; values reach ~1e3, so quantization is ~1e-2 absolute) and
+    whose dense transition tables are identical, filler pattern included."""
+    exe = ref_tools.build_ref_nanocall_dump()
+    if exe is None:
+        pytest.skip("reference tree or compiler unavailable")
+    f5s, txts, d = datasets
+
+    ref_cwd = tmp_path / "ref"
+    ref_cwd.mkdir()
+    flags = ["--pore", "r73", "--1d", "--scaling-num-events", "60"]
+    r = subprocess.run(
+        [exe, *flags, "-t", "1", "-o", str(ref_cwd / "out.fa"), txts[0]],
+        cwd=ref_cwd, capture_output=True, timeout=600,
+    )
+    assert r.returncode != 0  # the reference abort()s after dumping
+
+    mine = tmp_path / "mine"
+    rc = cli_main([f5s[0], *flags, "--dump-training-data", str(mine)])
+    assert rc == 0
+
+    for k in (0, 1):
+        for stem in ("emissions", "fw", "bw"):
+            a = np.loadtxt(ref_cwd / f"{stem}.{k}.tab")
+            b = np.loadtxt(mine / f"{stem}.{k}.tab")
+            assert a.shape == b.shape == (30, 4096), (stem, k)
+            assert np.allclose(a, b, atol=2e-2, rtol=1e-4), (
+                stem, k, float(np.abs(a - b).max()))
+        with open(ref_cwd / f"transitions.{k}.tab") as fa, \
+                open(mine / f"transitions.{k}.tab") as fb:
+            for i in range(64):
+                ra = np.fromstring(fa.readline(), sep="\t")
+                rb = np.fromstring(fb.readline(), sep="\t")
+                assert ra.shape == rb.shape == (4096,)
+                assert ((ra == -1000.0) == (rb == -1000.0)).all(), (k, i)
+                m = ra != -1000.0
+                assert np.allclose(ra[m], rb[m], atol=1e-4), (k, i)
+    assert not (ref_cwd / "emissions.2.tab").exists()
+    assert not (mine / "emissions.2.tab").exists()
