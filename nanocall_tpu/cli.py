@@ -216,7 +216,9 @@ def main(argv=None) -> int:
     # getOrigArgv() includes the program name (nanocall.cpp:915)
     prog = sys.argv[0] if argv is None else "nanocall-tpu"
     log.info("args: %s", " ".join([prog] + list(argv if argv is not None else sys.argv[1:])))
-    log.info("num_threads=%d", args.threads)
+    from .ingest import _resolve_workers
+
+    log.info("num_threads=%d", _resolve_workers(args.threads))
     log.info("eventdetection_group=%s", cfg.ed_group or "smallest")
     log.info(
         "ed_event_trimming:  sq_start=%d sq_end=%d hp_start=%d hp_end=%d",

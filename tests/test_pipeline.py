@@ -498,7 +498,9 @@ def test_cli_defaults_and_echo_lines(tmp_path, caplog):
     msgs = [r.getMessage() for r in caplog.records]
     args_lines = [m for m in msgs if m.startswith("args: ")]
     assert args_lines and args_lines[0].split()[1] == "nanocall-tpu"
-    assert any(m.startswith("num_threads=") for m in msgs)
+    nt = [m for m in msgs if m.startswith("num_threads=")]
+    # echoes the RESOLVED worker count (auto -1 -> >= 1), like the reference
+    assert nt and int(nt[0].split("=")[1]) >= 1
     assert any(m == "train=0" for m in msgs)
 
 
