@@ -65,3 +65,52 @@ def test_multihost_cli_emulation(tmp_path):
     assert cli_main([str(d), "-o", str(multi_out), "--no-train", "--1d",
                      "--num-hosts", "2", "--host-id", "0"]) == 0
     assert multi_out.read_text() == single.read_text()
+
+
+def test_multihost_stats_shards_and_resume(tmp_path):
+    """Operational flow: a 2-host trained run writes per-shard stats TSVs;
+    each host can later resume decode-only from ITS shard and reproduce its
+    half of the merged FASTA exactly (SURVEY.md section 5: per-shard
+    FASTA + params manifest enables resume)."""
+    from nanocall_tpu import simulate
+    from nanocall_tpu.cli import main as cli_main
+    from nanocall_tpu.models import load_builtin_models
+    from nanocall_tpu.parallel import multihost
+
+    models = load_builtin_models("r73")
+    rng = np.random.default_rng(3)
+    d = tmp_path / "reads"
+    d.mkdir()
+    for i in range(4):
+        simulate.write_sim_fast5(
+            d / f"r{i}.fast5", models, "r73.t.006", None, 250, rng,
+            read_id=f"r{i}", noise_scale=0.5,
+        )
+    out = tmp_path / "multi.fa"
+    stats = tmp_path / "stats.tsv"
+    common = [str(d), "--pore", "r73", "--1d", "-o", str(out),
+              "--stats", str(stats), "--num-hosts", "2"]
+    assert cli_main([*common, "--host-id", "1"]) == 0
+    assert cli_main([*common, "--host-id", "0"]) == 0
+    merged = out.read_text()
+
+    # per-shard stats exist and cover disjoint halves of the input
+    shard_rows = []
+    for hid in (0, 1):
+        sp = multihost.shard_output_path(str(stats), hid, 2)
+        rows = open(sp).read().strip().splitlines()
+        assert rows[0].startswith("file_name")  # header
+        shard_rows.append({r.split("\t")[1] for r in rows[1:]})
+    assert shard_rows[0].isdisjoint(shard_rows[1])
+    assert shard_rows[0] | shard_rows[1] == {f"r{i}" for i in range(4)}
+
+    # decode-only resume per host from ITS stats shard (host 1 first, then
+    # host 0 which merges) must reproduce the trained run's merged FASTA
+    re_out = tmp_path / "re.fa"
+    for hid in (1, 0):
+        sp = multihost.shard_output_path(str(stats), hid, 2)
+        rc = cli_main([str(d), "--pore", "r73", "--1d", "-o", str(re_out),
+                       "--resume-stats", sp,
+                       "--num-hosts", "2", "--host-id", str(hid)])
+        assert rc == 0
+    assert re_out.read_text() == merged
