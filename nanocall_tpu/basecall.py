@@ -316,9 +316,15 @@ class _EMDriver:
         self._t0 = _time.time()
 
     def _full_batch(self, T: int) -> int:
+        # EM chunks materialize alpha+beta+em as float32 (G*S, T, n)
+        # tensors — 4 seqs x 3 tensors x 4 B = 48 bytes per cell per group,
+        # NOT the decode path's 1-byte backpointers.  At the default
+        # scaling_num_events (T<=128 bucket) this still yields the full
+        # 128-group chunk; large --scaling-num-events now shrink G instead
+        # of OOMing the chip.
         return batching.batch_size_for(
             T, self.cfg.train_group_batch, BP_MEM_BUDGET,
-            kmer.n_states(self.cfg.kmer_size),
+            kmer.n_states(self.cfg.kmer_size), bytes_per_cell=48,
         )
 
     def _dispatch(self, sub_groups, pad_T, pad_B, states, limit):
@@ -876,6 +882,12 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
             # length=0, exactly like the old all-ones pad row)
             pool_dev, idx = ev_pool.bucket(sub, T)
             idx = np.concatenate([idx, np.zeros(Bc - len(sub), np.int32)])
+            # NOTE: the three branches below (sparse / sharded-grouped /
+            # fused-grouped) repeat the pool-gather + drift-correction +
+            # table/model assembly sequence.  They are kept inline on
+            # purpose — the fused branch must stay a single jitted program
+            # (compiled-shape stability is worth minutes on this backend)
+            # — so a semantic change to one MUST be applied to all three.
             if sparse_ops is not None and all(is_sparse_task(t) for t in sub):
                 idx_d = jnp.asarray(idx)
                 stacked = {

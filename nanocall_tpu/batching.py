@@ -25,10 +25,13 @@ def bucket_length(n_events: int, min_bucket: int = MIN_BUCKET) -> int:
     return ((n + 2047) // 2048) * 2048
 
 
-def batch_size_for(T: int, max_batch: int, mem_budget_bytes: int, n_states: int) -> int:
-    """Cap the bucket batch size so the Viterbi backpointer tensor
-    (B x T x n_states uint8) stays within budget."""
-    by_mem = max(1, mem_budget_bytes // (T * n_states))
+def batch_size_for(T: int, max_batch: int, mem_budget_bytes: int, n_states: int,
+                   bytes_per_cell: int = 1) -> int:
+    """Cap the bucket batch size so the dominant DP tensor stays within
+    budget.  bytes_per_cell is the HBM cost per (T x n_states) cell PER
+    BATCH ROW: 1 for decode (uint8 backpointers); EM training rows cost
+    4 seqs x 3 float32 tensors (alpha+beta+em) = 48."""
+    by_mem = max(1, mem_budget_bytes // (T * n_states * bytes_per_cell))
     return max(1, min(max_batch, by_mem))
 
 

@@ -120,6 +120,8 @@ def moves_to_base_seq(states: np.ndarray, moves: np.ndarray, K: int) -> str:
     last `move` bases of its state.
     """
     states = np.asarray(states, dtype=np.int64)
+    if len(states) == 0:  # eventless strand (all events filtered out)
+        return ""
     moves = np.minimum(np.asarray(moves, dtype=np.int64), K)
     lut = np.frombuffer(_BASES.encode(), dtype=np.uint8)
     # Per-event appended characters: for event i>0, the last a=moves[i] bases
@@ -127,7 +129,6 @@ def moves_to_base_seq(states: np.ndarray, moves: np.ndarray, K: int) -> str:
     a = moves.copy()
     a[0] = K  # first event contributes the whole k-mer
     total = int(a.sum())
-    out = np.empty(total, dtype=np.uint8)
     ends = np.cumsum(a)
     starts = ends - a
     # Vectorized: for each event, bases K-a .. K-1 of its state.

@@ -12,6 +12,7 @@ from __future__ import annotations
 import contextlib
 import logging
 import sys
+import threading
 import time
 
 log = logging.getLogger("nanocall")
@@ -126,9 +127,11 @@ class Progress:
         self.t0 = time.time()
         self._last = 0.0
         self.stream = stream if stream is not None else sys.stderr
+        self._lock = threading.Lock()  # add() is called from fetch workers
 
     def add(self, n: int = 1) -> None:
-        self.count += n
+        with self._lock:
+            self.count += n
         now = time.time()
         if now - self._last >= self.interval_s:
             self._last = now

@@ -47,12 +47,23 @@ def shard_output_path(output: str, process_id: int, num_processes: int) -> str:
 
 
 def merge_shards(output: str, num_processes: int, cleanup: bool = True) -> None:
-    """Concatenate shard FASTAs into the final output (host 0 only)."""
+    """Concatenate shard FASTAs into the final output (host 0 only).
+
+    A missing shard raises rather than silently truncating the merged
+    output — a host that produced no shard means the run is incomplete
+    (empty inputs still write an empty shard file)."""
+    shards = [
+        shard_output_path(output, pid, num_processes)
+        for pid in range(num_processes)
+    ]
+    missing = [s for s in shards if not os.path.exists(s)]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot merge {output}: missing shard(s) {missing} — did every "
+            f"host finish its run?"
+        )
     with open(output, "w") as out:
-        for pid in range(num_processes):
-            shard = shard_output_path(output, pid, num_processes)
-            if not os.path.exists(shard):
-                continue
+        for shard in shards:
             with open(shard) as fh:
                 out.write(fh.read())
             if cleanup:

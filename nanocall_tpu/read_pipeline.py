@@ -292,10 +292,13 @@ def _summarize_impl(path: str, models: dict, cfg: Config):
                 s.num_ed_events = 0
                 return s, None
             s.strand_bounds = bounds
+            # gated only on the resolved flag + strand sizes
+            # (Fast5_Summary.hpp:210-212); the reference does NOT re-gate on
+            # train/train_scaling here — `--no-train --double-strand-scaling`
+            # still scales strands jointly (nanocall.cpp:269 passes the raw
+            # switch; :1025 only resolves defaults when training)
             s.scale_strands_together = (
                 cfg.double_strand_scaling
-                and cfg.train
-                and cfg.train_scaling
                 and bounds[1] - bounds[0] >= cfg.min_ed_events
                 and bounds[3] - bounds[2] >= cfg.min_ed_events
             )

@@ -343,8 +343,17 @@ def grouped_tables(p_stay, p_skip, K: int, xp=np):
     """
     m = grouped_condition_masks(K)
     n = kmer.n_states(K)
-    # numpy path: accumulate in float64 then cast (matches the 21-slot host
-    # builder's float pipeline); device path: float32 throughout
+    # Two float pipelines, BOTH within 1 f32 ulp of each other (pinned by
+    # tests/test_grouped_k6.py::test_device_tables_match_host_to_float32_ulps):
+    #  - numpy path: accumulate float64, cast to float32 before log — the
+    #    21-slot host builders' pipeline (TSV conformance vs the reference's
+    #    6-digit text output);
+    #  - device path (xp=jnp): float32 throughout — the production EM/decode
+    #    pipeline, whose end-to-end FASTA byte-matches the compiled
+    #    reference binary (test_reference_pipeline_golden).  The reference
+    #    itself mixes float32 accumulation with double pow() terms
+    #    (State_Transitions.hpp:128-143), so no order of operations is
+    #    bitwise-canonical; the enforced standard is decoded output.
     acc_dtype = np.float64 if xp is np else xp.float32
     p_stay = xp.asarray(p_stay, dtype=acc_dtype)[..., None]
     p_skip = xp.asarray(p_skip, dtype=acc_dtype)[..., None]

@@ -1,0 +1,42 @@
+"""Bucket/chunk sizing: the HBM budget models for decode and EM chunks."""
+
+import numpy as np
+
+from nanocall_tpu import batching
+from nanocall_tpu.basecall import BP_MEM_BUDGET, _EMDriver
+from nanocall_tpu.config import Config
+
+
+def test_decode_batch_cap_by_backpointer_budget():
+    # B*T*n uint8 <= budget
+    B = batching.batch_size_for(8192, 1 << 30, BP_MEM_BUDGET, 4096)
+    assert B * 8192 * 4096 <= BP_MEM_BUDGET
+    assert batching.batch_size_for(128, 64, BP_MEM_BUDGET, 4096) == 64  # cap
+    assert batching.batch_size_for(1 << 40, 64, BP_MEM_BUDGET, 4096) == 1
+
+
+def test_em_chunk_sized_by_fwbw_tensors_not_backpointers():
+    """EM rows materialize alpha+beta+em (4 seqs x 3 float32 tensors = 48
+    B/cell).  A large --scaling-num-events must shrink the group count so
+    those tensors stay within budget, instead of OOMing (the old sizing
+    used the decode path's 1 B/cell and kept G=128 at any T)."""
+    drv = _EMDriver([], {}, Config(scaling_num_events=4096))
+    G = drv._full_batch(2048)
+    assert G * 4 * 2048 * 4096 * 4 * 3 <= BP_MEM_BUDGET
+    assert G < 128
+    # the default workload shape is unchanged (compiled-shape stability):
+    # scaling_num_events=200 -> T bucket 128 -> full 128-group chunks
+    assert _EMDriver([], {}, Config())._full_batch(128) == 128
+
+
+def test_make_buckets_chunks_are_uniform():
+    lengths = [100, 120, 4000, 4100, 4096, 90]
+    out = batching.make_buckets(lengths, 64, BP_MEM_BUDGET, 4096)
+    seen = set()
+    for T, B, chunks in out:
+        for c in chunks:
+            assert 0 < len(c) <= B  # the caller pads short chunks to B
+            seen.update(c)
+        assert all(batching.bucket_length(lengths[i]) == T
+                   for c in chunks for i in c)
+    assert seen == set(range(len(lengths)))

@@ -107,3 +107,25 @@ def test_grouped_viterbi_k6_end_to_end():
     o2 = hmm.viterbi_decode_grouped(gt, model, batch)
     assert np.array_equal(np.asarray(o1["path"]), np.asarray(o2["path"]))
     assert np.allclose(np.asarray(o1["logp"]), np.asarray(o2["logp"]), rtol=1e-6)
+
+
+def test_device_tables_match_host_to_float32_ulps():
+    """The production pipeline builds grouped tables ON DEVICE in float32
+    (make_grouped_trans_device / train.py xp=jnp); the host builders
+    accumulate float64 then cast (the TSV-conformance pipeline).  The two
+    may differ only at the last float32 ulp (measured max 4.8e-7 in log
+    space across the trained-parameter range) — large enough to flip a
+    Viterbi tie only when two path scores agree to ~1e-6, which the
+    byte-identical FASTA goldens (test_reference_pipeline_golden) bound in
+    practice.  This test pins that ulp-level agreement so neither builder
+    drifts."""
+    import jax.numpy as jnp
+
+    for ps, pk in [(0.1, 0.3), (0.05, 0.4), (0.4, 0.05), (0.09, 0.28)]:
+        host = transitions.grouped_tables(ps, pk, K)
+        dev = transitions.grouped_tables(
+            jnp.float32(ps), jnp.float32(pk), K, xp=jnp
+        )
+        for name, a, b in zip(("stay", "step", "skip"), host, dev):
+            d = np.abs(np.asarray(a) - np.asarray(b)).max()
+            assert d <= 1e-6, (name, ps, pk, float(d))

@@ -87,3 +87,10 @@ def test_moves_to_base_seq_big_move():
     moves = [0, 3]
     seq = kmer.moves_to_base_seq(np.array(states), np.array(moves), K)
     assert seq == "ACGTTT"
+
+
+def test_moves_to_base_seq_empty_path():
+    """An eventless strand decodes to an empty path; the numpy fallback must
+    return "" like the native path, not crash (basecall sets path=zeros(0)
+    for zero-length decode tasks)."""
+    assert kmer.moves_to_base_seq(np.zeros(0, np.int64), np.zeros(0, np.int64), 6) == ""

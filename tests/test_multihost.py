@@ -1,6 +1,7 @@
 """Multi-host partitioning and shard-merge logic (single-process tests)."""
 
 import numpy as np
+import pytest
 
 from nanocall_tpu.parallel import multihost
 
@@ -114,3 +115,16 @@ def test_multihost_stats_shards_and_resume(tmp_path):
                        "--num-hosts", "2", "--host-id", str(hid)])
         assert rc == 0
     assert re_out.read_text() == merged
+
+
+def test_merge_missing_shard_raises(tmp_path):
+    """A missing shard means an unfinished host: merging must fail loudly
+    rather than silently emit a truncated FASTA."""
+    from nanocall_tpu.parallel import multihost
+
+    out = tmp_path / "out.fa"
+    p0 = multihost.shard_output_path(str(out), 0, 2)
+    open(p0, "w").write(">a\nACGT\n")
+    with pytest.raises(FileNotFoundError, match="shard"):
+        multihost.merge_shards(str(out), 2)
+    assert not out.exists() or open(p0).read()  # shard 0 not consumed

@@ -196,3 +196,16 @@ def test_dump_training_data_golden(datasets, tmp_path):
                 assert np.allclose(ra[m], rb[m], atol=1e-4), (k, i)
     assert not (ref_cwd / "emissions.2.tab").exists()
     assert not (mine / "emissions.2.tab").exists()
+
+
+def test_no_train_double_strand_scaling_fasta_identical(ref_nanocall, datasets):
+    """--no-train --double-strand-scaling: the reference passes the raw
+    switch into summarize (nanocall.cpp:269) even when training is off, so
+    the 2-strand read must use JOINT initial scaling and joint candidate
+    selection; decode must byte-match."""
+    f5s, txts, d = datasets
+    flags = ["--pore", "r73", "--no-train", "--double-strand-scaling"]
+    ref_fa, ref_stats = run_ref(ref_nanocall, txts, d, "dss", *flags)
+    my_fa, my_stats = run_ours(f5s, d, "dss", *flags)
+    assert ref_fa == my_fa
+    assert_stats_match(ref_stats, my_stats, float_rtol=5e-3)
