@@ -209,3 +209,56 @@ def test_no_train_double_strand_scaling_fasta_identical(ref_nanocall, datasets):
     my_fa, my_stats = run_ours(f5s, d, "dss", *flags)
     assert ref_fa == my_fa
     assert_stats_match(ref_stats, my_stats, float_rtol=5e-3)
+
+
+def test_custom_priors_fasta_identical(ref_nanocall, datasets):
+    """Non-default --pr-stay/--pr-skip feed the transition builders on both
+    sides; decode must stay byte-identical (guards the p_stay/p_skip ->
+    table plumbing, not just the default table)."""
+    f5s, txts, d = datasets
+    flags = ["--pore", "r73", "--no-train", "--pr-stay", "0.13",
+             "--pr-skip", "0.22"]
+    ref_fa, _ = run_ref(ref_nanocall, txts, d, "pr", *flags)
+    my_fa, _ = run_ours(f5s, d, "pr", *flags)
+    assert ref_fa == my_fa
+
+
+def test_trans_file_fasta_identical(ref_nanocall, datasets, tmp_path):
+    """--trans <file>: both implementations must load the same transitions
+    TSV (ours written by compute-state-transitions, read by the reference
+    through its own State_Transitions text reader) and decode identically."""
+    from nanocall_tpu import tools
+
+    f5s, txts, d = datasets
+    trans = tmp_path / "trans.tsv"
+    rc = tools.main(["compute-state-transitions", "--fast",
+                     "-t", "0.12", "-k", "0.25", "-o", str(trans)])
+    assert rc == 0
+    flags = ["--pore", "r73", "--no-train", "-s", str(trans)]
+    ref_fa, _ = run_ref(ref_nanocall, txts, d, "tf", *flags)
+    my_fa, _ = run_ours(f5s, d, "tf", *flags)
+    assert ref_fa == my_fa
+
+
+def test_single_strand_scaling_trained_fasta(ref_nanocall, datasets):
+    """--single-strand-scaling trains per-strand candidates independently;
+    FASTA must byte-match or stay near-identical per record.
+
+    The floor is 0.98 (vs 0.99 for the double-strand test): on this
+    dataset one strand's fit progress hovers at scaling-min-progress, so
+    fp drift makes the two implementations stop one EM round apart
+    (shift differs ~0.0175).  Forcing fixed rounds
+    (--scaling-min-progress 0 --scaling-max-rounds 10) brings the trained
+    params back to ~2e-3 agreement — the EM math matches; the divergence
+    is the data-dependent stopping edge, which the reference's own float32
+    accumulation makes equally seed-sensitive."""
+    f5s, txts, d = datasets
+    flags = ["--pore", "r73", "--single-strand-scaling"]
+    ref_fa, ref_stats = run_ref(ref_nanocall, txts, d, "sss", *flags)
+    my_fa, my_stats = run_ours(f5s, d, "sss", *flags)
+    if ref_fa != my_fa:
+        r, m = ref_tools.parse_fasta(ref_fa), ref_tools.parse_fasta(my_fa)
+        assert sorted(r) == sorted(m)
+        idents = {k: simulate.identity(r[k], m[k]) for k in r}
+        assert min(idents.values()) > 0.98, idents
+    assert_stats_match(ref_stats, my_stats, float_rtol=0.02)
