@@ -38,8 +38,6 @@ import numpy as np
 from .. import transitions as trans_mod
 from ..pore_model import LOG_2PI
 
-NEG_INF = -np.inf
-
 
 @functools.partial(
     jax.tree_util.register_dataclass,
@@ -594,9 +592,10 @@ def fwbw(ops: TransOps, model: ModelArrays, ev: dict, keep_emissions: bool = Fal
     Returns dict:
       alpha (B, T, n), beta (B, T, n), log_pr_data (B,),
       em (B, T, n) if keep_emissions (needed by the EM trainer).
-    Padded steps: alpha frozen at last real value is NOT stored (alphas at
-    t >= length are garbage; mask by length), beta forced to 0 at
-    t >= length-1.
+    Padded steps: alpha rows at t >= length hold frozen copies of the last
+    real alpha (fwd_step stores the carried value); beta forced to 0 at
+    t >= length-1.  Consumers must still mask by length — the frozen rows
+    are finite but meaningless.
     """
     n = model.level_mean.shape[-1]
     log_n = jnp.float32(math.log(n))

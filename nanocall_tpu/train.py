@@ -55,12 +55,6 @@ def st_train_kmers(K: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def st_train_neighbours(K: int) -> np.ndarray:
-    """(n_train, 4) 1-step successors of each training k-mer."""
-    return kmer.neighbour_list(K, 1)[st_train_kmers(K)]
-
-
-@functools.lru_cache(maxsize=None)
 def st_train_mask(K: int) -> np.ndarray:
     """(n_states,) float32 mask: 1 for transition-training k-mers, else 0."""
     m = np.zeros(kmer.n_states(K), dtype=np.float32)
@@ -270,7 +264,10 @@ def train_one_round(
         wf = w.astype(jnp.float32)
 
         def acc(v):  # sum over seqs+events per group
-            return jnp.sum((v * wf).reshape(G, S, T), axis=(1, 2))
+            # no re-mask: every stat is a product with `post`, which is
+            # already zeroed outside valid events, and the padded
+            # x/t_/y values are finite (pad_batch uses mean=stdv=1)
+            return jnp.sum(v.reshape(G, S, T), axis=(1, 2))
 
         A00, A01, A11 = acc(s0), acc(s1), acc(s2)
         B0, B1 = acc(s0 * x), acc(s1 * x)
@@ -311,11 +308,23 @@ def train_one_round(
             + 2.0 * b_hat * c_hat * A12
             - 2.0 * (a_hat * B0 + b_hat * B1 + c_hat * B2)
         )
-        d_hat = jnp.sqrt(d_numer / n_events_tot)
+        # f32 accumulation can round the cancellation-prone d_numer (a
+        # difference of near-equal sums the reference accumulates in
+        # double) below zero, or push the var_sd denominator through zero.
+        # Clamp the sqrt argument and treat a non-positive/non-finite
+        # var or var_sd as a singularity (keep current params,
+        # hpp:354-360) so NaN params can never reach decoding.
+        d_hat = jnp.sqrt(jnp.maximum(d_numer, 0.0) / n_events_tot)
         v_hat = V_numer / V_denom  # scale_sd (hpp:422)
         u_hat = n_events_tot / (U_pos - V_denom / v_hat)  # var_sd (hpp:426)
 
         new_pm = jnp.stack([b_hat, a_hat, c_hat, d_hat, v_hat, u_hat], axis=-1)
+        bad = (
+            ~jnp.isfinite(new_pm).all(axis=-1)
+            | (d_hat <= 0.0)
+            | (u_hat <= 0.0)
+        )
+        done = done | bad
         # on singularity, keep current params (hpp:354-360)
         new_pm = jnp.where(done[:, None], pm_params, new_pm)
         out["new_pm_params"] = new_pm
@@ -372,7 +381,9 @@ def _train_st_params(alpha, beta, em, lpd, w, ev, st_params, K, G, S, T):
     safe_m = jnp.where(jnp.isfinite(m_g), m_g, 0.0)
     eg4 = jnp.exp(g - safe_m).reshape(B, T - 1, n4, 4).sum(axis=-1)  # (B,Tm,n4)
     # value at j1 = eg4[suffix(j1, K-1)] = eg4[j1 mod n4]: tile along states
-    lsum4 = safe_m + jnp.log(jnp.tile(eg4, (1, 1, 4)))  # (B, Tm, n)
+    # log on the (B, Tm, n/4) sums, THEN tile: identical values, 4x fewer
+    # transcendentals than log(tile(eg4))
+    lsum4 = safe_m + jnp.tile(jnp.log(eg4), (1, 1, 4))  # (B, Tm, n)
     lp_steps = a_i + log_p_step_4 + lsum4 - lpd_b  # lse of the 4 step joints
 
     # lp_d01 = logsumexp(clamped stay, steps), clamped to <= lp_j1
@@ -617,7 +628,9 @@ def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarra
         models = sharder.shard(models, G)
     crt_pm = np.asarray(pm_params0, dtype=np.float32).copy()
     crt_st = np.asarray(st_params0, dtype=np.float32).copy()
-    crt_fit = np.asarray(fit0, dtype=np.float64).copy()
+    # float32 like the device loop's carried fit, so the two paths make
+    # identical stopping decisions at threshold-straddling fits
+    crt_fit = np.asarray(fit0, dtype=np.float32).copy()
     rounds = rounds0.copy()
     frozen = frozen0.copy()
 
@@ -630,7 +643,7 @@ def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarra
             train_transitions=cfg.train_transitions,
         )
         out = jax.device_get(out)  # one host round-trip for all outputs
-        fit = np.asarray(out["fit"], dtype=np.float64)
+        fit = np.asarray(out["fit"], dtype=np.float32)
         new_pm = np.asarray(out["new_pm_params"])
         new_st = np.asarray(out["new_st_params"])
         done = np.asarray(out["done"])
@@ -654,7 +667,9 @@ def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarra
         # stop conditions (nanocall.cpp:419-424): per-candidate round cap;
         # min-progress needs round > 1
         frozen |= advance & (rounds >= caps)
-        no_progress = advance & (rounds > 1) & (crt_fit < old_fit + cfg.min_progress)
+        no_progress = advance & (rounds > 1) & (
+            crt_fit < old_fit + np.float32(cfg.min_progress)
+        )
         frozen |= no_progress
         round_no += 1
     return crt_pm, crt_st, crt_fit, rounds, frozen
