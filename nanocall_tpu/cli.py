@@ -299,7 +299,10 @@ def main(argv=None) -> int:
         )
 
     if args.resume_stats:
-        n = output.apply_resume(summaries, output.load_stats(args.resume_stats))
+        n = output.apply_resume(
+            summaries, output.load_stats(args.resume_stats),
+            transitions.TransitionParams(cfg.pr_stay, cfg.pr_skip),
+        )
         log.info("resumed trained parameters for %d reads from [%s]",
                  n, args.resume_stats)
 
@@ -324,7 +327,10 @@ def main(argv=None) -> int:
             if multi else cfg.stats_fn
         )
         with open(stats_path, "w") as fh:
-            output.write_stats(fh, summaries)
+            output.write_stats(
+                fh, summaries,
+                transitions.TransitionParams(cfg.pr_stay, cfg.pr_skip),
+            )
 
     if multi:
         if args.coordinator:

@@ -38,9 +38,19 @@ def is_valid_file(path: str) -> bool:
     nanocall.cpp:212)."""
     if not os.path.isfile(path):
         return False
+    sig = b"\x89HDF\r\n\x1a\n"
     try:
+        size = os.path.getsize(path)
         with open(path, "rb") as fh:
-            return fh.read(8) == b"\x89HDF\r\n\x1a\n"
+            # H5Fis_hdf5 semantics: the superblock may sit after a
+            # userblock at offset 512, 1024, 2048, ... (doubling)
+            off = 0
+            while off + 8 <= size:
+                fh.seek(off)
+                if fh.read(8) == sig:
+                    return True
+                off = 512 if off == 0 else off * 2
+            return False
     except OSError:
         return False
 
@@ -197,9 +207,8 @@ def basecall_event_table(ev, path_states, moves, p_states, K: int) -> np.ndarray
     out["stdv"] = ev.stdv
     out["start"] = ev.start
     out["length"] = ev.length
-    out["model_state"] = [
-        kmer_mod.int_to_kmer(int(s), K).encode() for s in path_states
-    ]
+    kmers = np.array([k.encode() for k in kmer_mod.all_kmer_strings(K)])
+    out["model_state"] = kmers[np.asarray(path_states, dtype=np.intp)]
     out["move"] = moves
     out["p_model_state"] = p_states
     return out

@@ -23,6 +23,7 @@ dispatcher instead.
 
 from __future__ import annotations
 
+import collections
 import logging
 import os
 
@@ -86,27 +87,50 @@ def ingest_stream(files, models, cfg):
         return
     chunks = [files[i : i + _CHUNK] for i in range(0, len(files), _CHUNK)]
     done = 0
+    # bounded in-flight window: enough chunks to keep every worker busy
+    # while the consumer drains, WITHOUT buffering the whole dataset's
+    # event arrays in parent RAM (submitting everything up front made peak
+    # RSS scale with the run size; the consumer is usually the slow side)
+    window = workers * 4
+    next_ci = 0
+    futs: "collections.deque" = collections.deque()
     try:
         pool = _get_executor(workers)
-        futs = [pool.submit(_worker_chunk, c, models, cfg) for c in chunks]
+        while next_ci < len(chunks) and len(futs) < window:
+            futs.append(pool.submit(_worker_chunk, chunks[next_ci], models, cfg))
+            next_ci += 1
     except Exception as e:
         log.warning("ingest pool unavailable (%s); ingesting in-process", e)
-        futs = None
-    if futs is not None:
-        for ci, fut in enumerate(futs):
-            try:
-                results = fut.result()
-            except Exception as e:
-                log.warning(
-                    "ingest pool failed (%s); ingesting remaining %d files "
-                    "in-process", e, len(files) - done,
+        futs.clear()
+        next_ci = len(chunks)
+    while futs:
+        fut = futs.popleft()
+        try:
+            results = fut.result()
+        except Exception as e:
+            log.warning(
+                "ingest pool failed (%s); ingesting remaining %d files "
+                "in-process", e, len(files) - done,
+            )
+            for f2 in futs:
+                f2.cancel()
+            futs.clear()
+            break
+        del fut  # release the Future's result reference promptly
+        try:
+            while next_ci < len(chunks) and len(futs) < window:
+                futs.append(
+                    pool.submit(_worker_chunk, chunks[next_ci], models, cfg)
                 )
-                for f2 in futs[ci + 1 :]:
-                    f2.cancel()
-                break
-            for r in results:
-                done += 1
-                yield r
+                next_ci += 1
+        except Exception as e:
+            log.warning(
+                "ingest submit failed (%s); finishing in-process", e
+            )
+            next_ci = len(chunks)
+        for r in results:
+            done += 1
+            yield r
     for p in files[done:]:
         yield read_pipeline.summarize(p, models, cfg, return_events=True)
 

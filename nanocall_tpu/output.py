@@ -25,7 +25,14 @@ def write_results_fasta(fh, results, line_width: int = 80) -> None:
 
 def write_results_fast5(results, summaries, models, cfg) -> None:
     """Persist basecalls into the source fast5 files under the reserved
-    Nanocall_NNN group."""
+    Nanocall_NNN group.
+
+    Per-read graceful degradation like the reference's HDF5 write-back
+    (Fast5_Summary.hpp:379-437 wraps each write; a locked/read-only/corrupt
+    file must not abort the run and discard every other read's results)."""
+    import logging
+
+    log = logging.getLogger("nanocall")
     for r in results:
         s = summaries[r.read_idx]
         pm = models[r.model_name]
@@ -34,11 +41,17 @@ def write_results_fast5(results, summaries, models, cfg) -> None:
         table = fast5_io.basecall_event_table(
             r.ev, r.path, r.moves, p_states, cfg.kmer_size
         )
-        with fast5_io.Fast5File(s.file_name, rw=True) as f:
-            f.add_basecall_seq(r.strand, s.bc_grp, r.seq_name, r.base_seq)
-            f.add_basecall_events(r.strand, s.bc_grp, table)
-            f.add_basecall_model(r.strand, s.bc_grp, fast5_io.model_table(pm))
-            f.add_basecall_model_params(r.strand, s.bc_grp, params)
+        try:
+            with fast5_io.Fast5File(s.file_name, rw=True) as f:
+                f.add_basecall_seq(r.strand, s.bc_grp, r.seq_name, r.base_seq)
+                f.add_basecall_events(r.strand, s.bc_grp, table)
+                f.add_basecall_model(r.strand, s.bc_grp, fast5_io.model_table(pm))
+                f.add_basecall_model_params(r.strand, s.bc_grp, params)
+        except OSError as e:
+            log.warning(
+                "error writing basecalls for read [%s] to [%s]: %s",
+                r.seq_name, s.file_name, e,
+            )
 
 
 STATS_COLUMNS = (
@@ -59,7 +72,11 @@ def write_stats_header(fh) -> None:
     fh.write("\n")
 
 
-def write_stats_row(fh, s) -> None:
+def write_stats_row(fh, s, defaults: TransitionParams | None = None) -> None:
+    # absent strands print default-constructed params; the reference's
+    # defaults TRACK the CLI --pr-stay/--pr-skip (nanocall.cpp:923-924 sets
+    # the State_Transition_Parameters statics), so callers pass them in
+    defaults = defaults or TransitionParams()
     fh.write(
         f"{s.base_file_name}\t{s.read_id}\t{s.num_ed_events}\t{s.abasic_level:g}"
         f"\t{s.strand_bounds[0]}\t{s.strand_bounds[1]}"
@@ -82,15 +99,14 @@ def write_stats_row(fh, s) -> None:
             fh.write(f"{p.p_stay:.5f}\t{p.p_skip:.5f}")
         else:
             fh.write(f"\t.\t{PoreModelParams().write_tsv()}\t")
-            p = TransitionParams()
-            fh.write(f"{p.p_stay:.5f}\t{p.p_skip:.5f}")
+            fh.write(f"{defaults.p_stay:.5f}\t{defaults.p_skip:.5f}")
     fh.write("\n")
 
 
-def write_stats(fh, summaries) -> None:
+def write_stats(fh, summaries, defaults: TransitionParams | None = None) -> None:
     write_stats_header(fh)
     for s in summaries:
-        write_stats_row(fh, s)
+        write_stats_row(fh, s, defaults)
 
 
 def load_stats(path) -> dict:
@@ -133,10 +149,12 @@ def load_stats(path) -> dict:
     return out
 
 
-def apply_resume(summaries, stats: dict) -> int:
+def apply_resume(summaries, stats: dict,
+                 defaults: TransitionParams | None = None) -> int:
     """Install resumed parameters into read summaries; returns the number of
     reads restored.  Restored reads get a preferred model per strand, so
-    training is skipped and decoding uses the stored parameters."""
+    training is skipped and decoding uses the stored parameters.  `defaults`
+    fills the unused strand's transition-param slot (CLI --pr-stay/--pr-skip)."""
     n = 0
     for s in summaries:
         rec = stats.get((s.base_file_name, s.read_id))
@@ -145,18 +163,32 @@ def apply_resume(summaries, stats: dict) -> int:
         strands = sorted(rec)
         if s.scale_strands_together and len(strands) == 2:
             key = (rec[0][0], rec[1][0])
-            s.pm_params[key] = rec[0][1]
-            s.st_params[key] = [rec[0][2], rec[1][2]]
-            s.preferred_model[2] = key
-            for st in strands:
-                s.preferred_model[st] = rec[st][0]
-        else:
+            # a joint key carries ONE pm-param set for both strands; stats
+            # from a per-strand-scaling run may carry two different sets,
+            # which cannot be represented jointly — resume per-strand then
+            if rec[0][1].as_array().tolist() != rec[1][1].as_array().tolist():
+                import logging
+
+                logging.getLogger("nanocall").warning(
+                    "resume: read [%s] stats carry per-strand pm_params; "
+                    "resuming per-strand (ignoring --double-strand-scaling)",
+                    s.read_id,
+                )
+                s.scale_strands_together = False
+            else:
+                s.pm_params[key] = rec[0][1]
+                s.st_params[key] = [rec[0][2], rec[1][2]]
+                s.preferred_model[2] = key
+                for st in strands:
+                    s.preferred_model[st] = rec[st][0]
+        if not (s.scale_strands_together and len(strands) == 2):
             s.scale_strands_together = False
             for st in strands:
                 name, pm, sp = rec[st]
                 key = (name, "") if st == 0 else ("", name)
                 s.pm_params[key] = pm
-                sps = [TransitionParams(), TransitionParams()]
+                filler = defaults or TransitionParams()
+                sps = [filler, filler]
                 sps[st] = sp
                 s.st_params[key] = sps
                 s.preferred_model[st] = name

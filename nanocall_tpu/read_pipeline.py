@@ -221,9 +221,14 @@ def initial_scaling(
                     shift = r_mean - scale * m.mean()
                     key = (name, "") if st == 0 else ("", name)
                     summary.pm_params[key] = PoreModelParams(scale=scale, shift=shift)
-                    sp = [TransitionParams(), TransitionParams()]
-                    sp[st] = TransitionParams(cfg.pr_stay, cfg.pr_skip)
-                    summary.st_params[key] = sp
+                    # BOTH entries default-construct with the CLI-tracking
+                    # values (the reference's State_Transition_Parameters
+                    # statics, nanocall.cpp:923-924) — the unused strand's
+                    # slot is printed by --stats and must match
+                    summary.st_params[key] = [
+                        TransitionParams(cfg.pr_stay, cfg.pr_skip),
+                        TransitionParams(cfg.pr_stay, cfg.pr_skip),
+                    ]
 
 
 def summarize(path: str, models: dict, cfg: Config, return_events=False):
@@ -357,7 +362,7 @@ def summarize_many(files: list, models: dict, cfg: Config, workers: int = 1) -> 
         return list(pool.map(lambda f: summarize(f, models, cfg), files))
 
 
-def init_files(inputs: list, log_fn=None) -> list:
+def init_files(inputs: list) -> list:
     """Resolve CLI inputs into a list of fast5 files (nanocall.cpp:198-261):
     directories are scanned one level, non-fast5 files are read as fofn,
     '-' reads a fofn from stdin."""

@@ -82,7 +82,10 @@ def run_fwbw(argv) -> int:
             + np.asarray(out["beta"])[0, mid]
             - float(out["log_pr_data"][0])
         )
-    order = np.argsort(-post, kind="stable")
+    # descending probability; ties in DESCENDING state order (the reference
+    # pops a multiset<pair<v, j>> from the end, run-fwbw.cpp:83-88)
+    n_post = len(post)
+    order = np.lexsort((-np.arange(n_post), -post))
     for j in order:
         if post[j] < 0.1:
             break

@@ -84,3 +84,51 @@ def test_write_fast5_end_to_end(tmp_path):
     assert rc == 0
     spm = pore_model.load_tsv(out)
     assert spm.n_states == 4096
+
+
+def test_write_fast5_one_bad_file_does_not_abort(tmp_path, monkeypatch, caplog):
+    """Per-read graceful degradation on write-back: one failing fast5 write
+    logs a warning and the remaining reads are still persisted
+    (Fast5_Summary.hpp:379-437 semantics; previously one OSError aborted
+    the run after basecalling, losing every other read's write-back)."""
+    import logging
+
+    import h5py
+
+    from nanocall_tpu import output, read_pipeline, basecall
+    from nanocall_tpu.config import Config
+
+    models = load_builtin_models("r73")
+    rng = np.random.default_rng(9)
+    d = tmp_path / "reads"
+    d.mkdir()
+    for rid in ("a", "b"):
+        simulate.write_sim_fast5(
+            d / f"{rid}.fast5", models, "r73.t.006", None, 250, rng,
+            read_id=rid, noise_scale=0.5,
+        )
+    cfg = Config(pore="r73", train=False, write_fast5=True,
+                 scaling_select_threshold=np.inf).apply_pore_preset()
+    cfg.template_only = True
+    cfg.double_strand_scaling = False
+    files = read_pipeline.init_files([str(d)])
+    summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
+    results = basecall.basecall_reads(summaries, models, cfg)
+    assert len(results) == 2
+
+    real_open = fast5_io.Fast5File
+
+    def failing_open(path, rw=False):
+        if path.endswith("a.fast5") and rw:
+            raise OSError("simulated locked file")
+        return real_open(path, rw=rw)
+
+    monkeypatch.setattr(fast5_io, "Fast5File", failing_open)
+    with caplog.at_level(logging.WARNING):
+        output.write_results_fast5(results, summaries, models, cfg)
+    assert any("error writing basecalls" in r.getMessage()
+               for r in caplog.records)
+    with h5py.File(d / "b.fast5", "r") as f:
+        assert "Nanocall_000" in f["/Analyses"]
+    with h5py.File(d / "a.fast5", "r") as f:
+        assert "Nanocall_000" not in f.get("/Analyses", {})

@@ -218,9 +218,13 @@ def test_custom_priors_fasta_identical(ref_nanocall, datasets):
     f5s, txts, d = datasets
     flags = ["--pore", "r73", "--no-train", "--pr-stay", "0.13",
              "--pr-skip", "0.22"]
-    ref_fa, _ = run_ref(ref_nanocall, txts, d, "pr", *flags)
-    my_fa, _ = run_ours(f5s, d, "pr", *flags)
+    ref_fa, ref_stats = run_ref(ref_nanocall, txts, d, "pr", *flags)
+    my_fa, my_stats = run_ours(f5s, d, "pr", *flags)
     assert ref_fa == my_fa
+    # stats parity includes the DEFAULTED strand columns, which must print
+    # the CLI priors (the reference's default-constructed
+    # State_Transition_Parameters track --pr-stay/--pr-skip)
+    assert_stats_match(ref_stats, my_stats, float_rtol=5e-3)
 
 
 def test_trans_file_fasta_identical(ref_nanocall, datasets, tmp_path):
