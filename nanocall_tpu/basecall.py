@@ -397,7 +397,7 @@ class _EMDriver:
                 continue
             buckets = batching.make_buckets(
                 [T] * len(rest), self.cfg.train_group_batch, BP_MEM_BUDGET,
-                kmer.n_states(self.cfg.kmer_size),
+                kmer.n_states(self.cfg.kmer_size), bytes_per_cell=48,
             )
             for bT, B, chunks in buckets:
                 for chunk in chunks:
@@ -433,6 +433,7 @@ class _EMDriver:
             buckets2 = batching.make_buckets(
                 [T for _, _, T in leftovers], self.cfg.train_group_batch,
                 BP_MEM_BUDGET, kmer.n_states(self.cfg.kmer_size),
+                bytes_per_cell=48,
             )
             pending2 = []
             for T, B, chunks in buckets2:
@@ -977,7 +978,8 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                         cfg.kmer_size,
                     )
             elif with_path:
-                t.path = paths[bi, : len(t.ev)]
+                # copy: a view would pin the whole (B, T) chunk array
+                t.path = paths[bi, : len(t.ev)].copy()
         if progress is not None:
             progress.add(len(sub))
         log.debug("decode_chunk real=%d fetch_s=%.3f host_s=%.3f",

@@ -335,7 +335,10 @@ def main(argv=None) -> int:
     if multi:
         if args.coordinator:
             multihost.barrier("basecall-done")
-        if args.host_id == 0:
+        # shard FASTAs exist only when basecalling to files (not
+        # --no-basecall, not --write-fast5) — merging otherwise would
+        # fail on missing shards after a fully successful run
+        if args.host_id == 0 and cfg.basecall and not cfg.write_fast5:
             multihost.merge_shards(args.output or "out.fa", args.num_hosts)
             log.info("merged %d shards into %s", args.num_hosts,
                      args.output or "out.fa")

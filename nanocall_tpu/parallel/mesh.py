@@ -28,7 +28,12 @@ class DataSharder:
     """
 
     def __init__(self, n_devices: int | None = None):
-        devs = jax.devices()
+        # LOCAL devices: each host decodes its own file partition
+        # (multihost.partition_files), so the data mesh must only contain
+        # devices this process can address — jax.devices() would return
+        # every host's chips after jax.distributed.initialize and the
+        # first device_put onto a remote chip would raise
+        devs = jax.local_devices()
         n = n_devices if n_devices else len(devs)
         self.n = max(1, min(n, len(devs)))
         if self.n > 1:

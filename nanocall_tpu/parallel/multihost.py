@@ -62,10 +62,12 @@ def merge_shards(output: str, num_processes: int, cleanup: bool = True) -> None:
             f"cannot merge {output}: missing shard(s) {missing} — did every "
             f"host finish its run?"
         )
-    with open(output, "w") as out:
+    import shutil
+
+    with open(output, "wb") as out:
         for shard in shards:
-            with open(shard) as fh:
-                out.write(fh.read())
+            with open(shard, "rb") as fh:
+                shutil.copyfileobj(fh, out)  # constant memory per shard
             if cleanup:
                 os.remove(shard)
 

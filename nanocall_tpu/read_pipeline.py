@@ -83,7 +83,15 @@ def find_hairpin_islands(
     means: np.ndarray, abasic_level: float, window_size: int, window_load: int
 ):
     """Windowed island detection (>= load high events within a size-window,
-    Fast5_Summary.hpp:613-650)."""
+    Fast5_Summary.hpp:613-650).
+
+    NOT used by detect_strands — deliberately.  The reference's
+    detect_strands calls find_islands_5_consec() with the windowed variant
+    COMMENTED OUT (`find_islands_5_consec(); //find_hairpin_islands();`,
+    Fast5_Summary.hpp:661), so the hairpin_island_window_{size,load} knobs
+    the presets configure are inert there too; wiring this in would
+    diverge from the reference.  Kept (and tested) for parity with the
+    reference's own latent code path."""
     islands = []
     high = means >= abasic_level
     window_start = 0

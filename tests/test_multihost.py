@@ -128,3 +128,28 @@ def test_merge_missing_shard_raises(tmp_path):
     with pytest.raises(FileNotFoundError, match="shard"):
         multihost.merge_shards(str(out), 2)
     assert not out.exists() or open(p0).read()  # shard 0 not consumed
+
+
+def test_multihost_no_basecall_does_not_merge(tmp_path):
+    """A training-only multi-host run writes no FASTA shards; host 0 must
+    not attempt (and fail) the shard merge after a successful run."""
+    from nanocall_tpu import simulate
+    from nanocall_tpu.cli import main as cli_main
+    from nanocall_tpu.models import load_builtin_models
+
+    models = load_builtin_models("r73")
+    rng = np.random.default_rng(4)
+    d = tmp_path / "reads"
+    d.mkdir()
+    for i in range(2):
+        simulate.write_sim_fast5(
+            d / f"r{i}.fast5", models, "r73.t.006", None, 250, rng,
+            read_id=f"r{i}", noise_scale=0.5,
+        )
+    stats = tmp_path / "stats.tsv"
+    common = [str(d), "--pore", "r73", "--1d", "--no-basecall",
+              "--stats", str(stats), "--num-hosts", "2"]
+    assert cli_main([*common, "--host-id", "1"]) == 0
+    assert cli_main([*common, "--host-id", "0"]) == 0  # no merge crash
+    for hid in (0, 1):
+        assert (tmp_path / f"stats.tsv.shard{hid:04d}").exists()
