@@ -183,7 +183,10 @@ def init_models(cfg: Config) -> dict:
             raise SystemExit(f"no builtin models found for pore [{cfg.pore}]")
         for name, pm in models.items():
             log.info("loaded builtin model [%s] for strand [%d]", name, pm.strand)
-    return models
+    # lexicographic name order: the reference's Pore_Model_Dict is a
+    # std::map, so candidate enumeration / tie-breaks / stats rows follow
+    # sorted names regardless of -m / fofn specification order
+    return dict(sorted(models.items()))
 
 
 def init_transitions(cfg: Config):
@@ -313,13 +316,19 @@ def main(argv=None) -> int:
             )
         if cfg.write_fast5:
             output.write_results_fast5(results, summaries, models, cfg)
-        else:
-            fh = open(cfg.output, "w") if cfg.output else sys.stdout
-            try:
+        elif cfg.output:
+            # write-then-rename: the file exists only when COMPLETE.  In
+            # coordinator-less multi-host runs host 0's merge treats shard
+            # existence as completeness, so a half-written shard must
+            # never be visible under its final name.
+            import os
+
+            tmp = cfg.output + ".tmp"
+            with open(tmp, "w") as fh:
                 output.write_results_fasta(fh, results, cfg.fasta_line_width)
-            finally:
-                if cfg.output:
-                    fh.close()
+            os.replace(tmp, cfg.output)
+        else:
+            output.write_results_fasta(sys.stdout, results, cfg.fasta_line_width)
 
     if cfg.stats_fn:
         stats_path = (

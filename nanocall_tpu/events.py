@@ -62,6 +62,10 @@ def load_tsv(path) -> EventSequence:
 
     with zopen(path) as fh:
         data = np.loadtxt(fh, dtype=np.float64, ndmin=2)
+    if data.size == 0:  # empty/comment-only file -> empty sequence, like
+        # the reference's operator>> loop reading nothing
+        z = np.zeros(0, np.float64)
+        return EventSequence(mean=z, stdv=z, start=z, length=z)
     return EventSequence(
         mean=data[:, 0], stdv=data[:, 1], start=data[:, 2], length=data[:, 3]
     )

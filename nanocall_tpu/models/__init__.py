@@ -45,7 +45,8 @@ def load_builtin_models(pore: str = "r73", K: int = 6) -> dict:
                 strand=int(strand),
                 name=name,
             )
-    return out
+    # sorted like the reference's std::map-keyed Pore_Model_Dict
+    return dict(sorted(out.items()))
 
 
 def builtin_model_names() -> list[str]:

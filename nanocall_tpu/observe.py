@@ -130,16 +130,19 @@ class Progress:
         self._lock = threading.Lock()  # add() is called from fetch workers
 
     def add(self, n: int = 1) -> None:
-        with self._lock:
+        with self._lock:  # count AND interval check: two workers passing
+            # the check together would emit interleaved lines
             self.count += n
-        now = time.time()
-        if now - self._last >= self.interval_s:
+            now = time.time()
+            if now - self._last < self.interval_s:
+                return
             self._last = now
-            self.stream.write(
-                f"Processed {self.count:6d} {self.what} in "
-                f"{int(now - self.t0):6d} seconds\r"
-            )
-            self.stream.flush()
+            count = self.count
+        self.stream.write(
+            f"Processed {count:6d} {self.what} in "
+            f"{int(now - self.t0):6d} seconds\r"
+        )
+        self.stream.flush()
 
     def finish(self) -> None:
         self.stream.write(

@@ -106,6 +106,19 @@ def simulate_read(
     10..40 samples.
     """
     two_strand = complement_model is not None
+    if two_strand:
+        total = 2 * n_events + hairpin_len + 2 * (pad + 10)
+        if hairpin_len / total > 0.01:
+            import warnings
+
+            warnings.warn(
+                f"hairpin is {hairpin_len}/{total} = "
+                f"{hairpin_len / total:.1%} of events (> 1%): the abasic "
+                f"99th-percentile threshold will sit inside the hairpin "
+                f"band and strand detection will fail — use n_events >= "
+                f"~{int(hairpin_len * 50)} for a detectable 2-strand read",
+                stacklevel=2,
+            )
     segments = []  # (kind, n) kind in {pad, t, hp, c}
     segments.append(("pad", pad + 10))
     segments.append(("t", n_events))

@@ -48,6 +48,9 @@ def run_viterbi(argv) -> int:
     p.add_argument("-K", "--kmer-size", type=int, default=6)
     args = p.parse_args(argv)
     pm, st, ev = _load_inputs(args, args.kmer_size)
+    if len(ev) == 0:  # reference fill() loops are no-ops; empty base seq
+        print("")
+        return 0
     ops, model, batch = _decode_batch(pm, st, ev)
     out = hmm.viterbi_decode(ops, model, batch)
     path = np.asarray(out["path"])[0, : len(ev)]
@@ -70,6 +73,8 @@ def run_fwbw(argv) -> int:
     p.add_argument("-K", "--kmer-size", type=int, default=6)
     args = p.parse_args(argv)
     pm, st, ev = _load_inputs(args, args.kmer_size)
+    if len(ev) == 0:  # nothing to decode; no posterior lines
+        return 0
     ops, model, batch = _decode_batch(pm, st, ev)
     mid = len(ev) // 2
     if args.custom_fwbw:

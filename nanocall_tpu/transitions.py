@@ -515,12 +515,17 @@ def compute_transitions_dense(
     p_step, p_skip_1 = _skip_geometry(p_stay, p_skip)
     states = np.arange(n, dtype=np.int64)
     pairs = []
-    # row-block to bound memory for K=6 (4096x4096 float64 = 128 MB; fine)
-    P = trans_prob(states[:, None], states[None, :], p_stay, p_step, p_skip_1, K)
-    ii, jj = np.nonzero(P > p_cutoff)
-    lp = np.log(P[ii, jj].astype(np.float32))
-    for i, j, v in zip(ii.tolist(), jj.tolist(), lp.tolist()):
-        pairs.append((i, j, v))
+    # row-block so peak memory is a (block, n) slab, not n x n plus its
+    # broadcast temporaries (matters above K=6)
+    blk = 256
+    for r0 in range(0, n, blk):
+        rows = states[r0 : r0 + blk]
+        P = trans_prob(rows[:, None], states[None, :], p_stay, p_step,
+                       p_skip_1, K)
+        ii, jj = np.nonzero(P > p_cutoff)
+        lp = np.log(P[ii, jj].astype(np.float32))
+        for i, j, v in zip((ii + r0).tolist(), jj.tolist(), lp.tolist()):
+            pairs.append((i, j, v))
     return sparse_from_pairs(pairs, K)
 
 
