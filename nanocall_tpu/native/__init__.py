@@ -16,11 +16,41 @@ _LIB = None
 _HERE = os.path.dirname(__file__)
 
 
+def _try_build(path: str) -> None:
+    """Build the .so from source on first use (it is gitignored, so fresh
+    checkouts don't ship it).  Compile to a unique temp name and atomically
+    rename, so concurrent importers can't observe a half-written library.
+    Any failure (no compiler, read-only tree) silently leaves the numpy
+    fallbacks in charge."""
+    import subprocess
+    import tempfile
+
+    src = os.path.join(_HERE, "preprocess.cpp")
+    if not os.path.exists(src):
+        return
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
+    os.close(fd)
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-Wall",
+             "-shared", "-o", tmp, src],
+            check=True, capture_output=True, timeout=120,
+        )
+        os.replace(tmp, path)
+    except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
 def _load():
     global _LIB
     if _LIB is not None:
         return _LIB
     path = os.path.join(_HERE, "libnanocall_native.so")
+    if not os.path.exists(path):
+        _try_build(path)
     if not os.path.exists(path):
         _LIB = False
         return _LIB
