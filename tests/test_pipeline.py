@@ -140,6 +140,35 @@ def test_resume_from_stats(sim_dir, tmp_path):
     assert out1.read_text() == out2.read_text()
 
 
+def test_per_file_runs_concat_to_directory_run(sim_dir, tmp_path):
+    """With params pinned via --resume-stats, a directory run must equal
+    the per-file runs' records: decode output is independent of batch /
+    chunk membership (the reference decodes reads independently, so any
+    bucketing artifact here would be a divergence)."""
+    d, truths = sim_dir
+    out_dir = tmp_path / "dir.fa"
+    stats = tmp_path / "s.tsv"
+    rc = cli_main([str(d), "-o", str(out_dir), "--stats", str(stats),
+                   "--pore", "r73"])
+    assert rc == 0
+
+    def records(path):
+        recs = {}
+        for chunk in path.read_text().split(">")[1:]:
+            head, *seq = chunk.splitlines()
+            recs[head.split()[0]] = "".join(seq)
+        return recs
+
+    merged = {}
+    for f5 in sorted(d.glob("*.fast5")):
+        out_f = tmp_path / (f5.stem + ".fa")
+        rc = cli_main([str(f5), "-o", str(out_f), "--resume-stats",
+                       str(stats), "--pore", "r73"])
+        assert rc == 0
+        merged.update(records(out_f))
+    assert records(out_dir) == merged
+
+
 def test_resume_duplicate_read_ids(models, tmp_path):
     """Resume keys on (file_name, read_name): fast5 read ids are
     producer-assigned and NOT unique across files, and keying stats rows by
