@@ -149,7 +149,8 @@ def measure_tpu(B: int, T: int, n_iter: int = 8) -> dict:
     }
 
 
-def measure_e2e(n_reads: int, n_events: int, train: bool) -> dict:
+def measure_e2e(n_reads: int, n_events: int, train: bool,
+                n_passes: int = 3) -> dict:
     """Full pipeline (simulated fast5 -> FASTA) wall-clock reads/s."""
     import tempfile
 
@@ -187,23 +188,30 @@ def measure_e2e(n_reads: int, n_events: int, train: bool) -> dict:
 
         # pass 1 warms the per-process deferred device compiles (the axon
         # remote-compile backend compiles at first execution; minutes per
-        # program shape); passes 2-3 are steady-state measurements and the
-        # FASTER one is reported (min-of-N: the relay's per-dispatch
-        # latency swings 50-400 ms between windows, and the min is the
-        # standard estimator for the code's own cost under external noise
-        # — both passes are printed in "detail" for honesty)
+        # program shape); the next n_passes are steady-state measurements
+        # and the MEDIAN is the headline (the relay's per-dispatch latency
+        # swings 50-400 ms between windows; the min — the standard
+        # estimator for the code's own cost under external noise — and the
+        # full spread are reported in "detail" so readers can judge window
+        # noise; the CPU baseline was a single plain pass, so comparing
+        # its value against a median, not a min, keeps vs_baseline
+        # symmetric)
         t0 = time.time()
         run_once()
         warm_s = time.time() - t0
-        passes = [run_once() for _ in range(2)]
-        all_dt = [round(p[3], 1) for p in passes]
-        summaries, results, t_train, dt = min(passes, key=lambda p: p[3])
+        passes = sorted([run_once() for _ in range(n_passes)],
+                        key=lambda p: p[3])
+        all_dt = sorted(round(p[3], 1) for p in passes)
+        summaries, results, t_train, dt = passes[(len(passes) - 1) // 2]
         total_events = sum(s.num_ed_events for s in summaries)
     return {
         "reads_per_s": round(n_reads / dt, 2),
         "events_per_s": round(total_events / dt),
         "seconds": round(dt, 1),
         "all_pass_seconds": all_dt,
+        "min_pass_seconds": all_dt[0],
+        "min_pass_events_per_s": round(total_events / passes[0][3]),
+        "pass_spread_seconds": round(all_dt[-1] - all_dt[0], 1),
         "warmup_compile_s": round(warm_s, 1),
         "ingest_train_s": round(t_train, 1),
         "basecall_s": round(dt - t_train, 1),
@@ -223,6 +231,8 @@ def main():
     ap.add_argument("--e2e", action="store_true",
                     help="benchmark the full fast5->FASTA pipeline instead")
     ap.add_argument("--no-train", action="store_true")
+    ap.add_argument("--passes", type=int, default=3,
+                    help="steady-state e2e passes (median reported)")
     ap.add_argument("--debug", action="store_true",
                     help="debug logging (sub-stage pack/fetch timers)")
     args = ap.parse_args()
@@ -236,7 +246,8 @@ def main():
         logging.getLogger("jax").setLevel(logging.WARNING)
 
     if args.e2e:
-        res = measure_e2e(args.reads, args.events, train=not args.no_train)
+        res = measure_e2e(args.reads, args.events, train=not args.no_train,
+                          n_passes=args.passes)
         cpu = CPU_BASELINE_EVENTS_PER_S
         print(json.dumps({
             "metric": "e2e_pipeline_events_per_s",

@@ -50,9 +50,12 @@ class EventSequence:
 
     def mean_stdv(self) -> tuple[float, float]:
         """(mean, population stdv) of event means, for initial scaling
-        (Fast5_Summary.hpp:225-230)."""
-        m = self.mean.astype(np.float64)
-        return float(np.mean(m)), float(np.std(m))
+        (Fast5_Summary.hpp:225-230).  Float32 sequential accumulation like
+        the reference's alg::mean_stdv_of<Float_Type> — exact parity here
+        keeps untrained initial scale/shift bit-identical."""
+        from . import native
+
+        return native.mean_stdv_f32(self.mean)
 
 
 def load_tsv(path) -> EventSequence:

@@ -73,6 +73,9 @@ def _load():
         c_i64p, ctypes.c_int64]
     lib.nc_filter_events.restype = None
     lib.nc_filter_events.argtypes = [c_dp, c_dp, ctypes.c_int64, ctypes.c_double, c_u8p]
+    if hasattr(lib, "nc_mean_stdv_f32"):
+        lib.nc_mean_stdv_f32.restype = None
+        lib.nc_mean_stdv_f32.argtypes = [c_dp, ctypes.c_int64, c_dp]
     lib.nc_moves.restype = None
     lib.nc_moves.argtypes = [c_i32p, ctypes.c_int64, ctypes.c_int32, c_i32p]
     lib.nc_base_seq.restype = ctypes.c_int64
@@ -117,6 +120,33 @@ def find_islands_5(means: np.ndarray, level: float) -> list:
     from ..read_pipeline import find_islands_5_consec
 
     return find_islands_5_consec(means, level)
+
+
+def mean_stdv_f32(vals: np.ndarray) -> tuple[float, float]:
+    """(mean, population stdv) with the reference's exact float32 sequential
+    accumulation (alg::mean_stdv_of<Float_Type>: s += v; s2 += v*v in order,
+    mean = s/n, stdv = sqrtf(s2/n - mean^2)).  Initial scale/shift derive
+    from these moments (Fast5_Summary.hpp:223-278, Pore_Model.hpp:307-313),
+    and bit-equality here is what makes untrained FASTA byte-identical to
+    the compiled reference binary."""
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    lib = _load()
+    if lib and hasattr(lib, "nc_mean_stdv_f32"):
+        out = np.zeros(2, np.float64)
+        lib.nc_mean_stdv_f32(_dp(vals), len(vals), _dp(out))
+        return float(out[0]), float(out[1])
+    n = len(vals)
+    if n == 0:
+        return 0.0, 0.0
+    # np.cumsum is a strict sequential pass, so the f32 partial sums round
+    # identically to the C++ loop (np.sum's pairwise reduction would not)
+    v = vals.astype(np.float32)
+    s = np.cumsum(v, dtype=np.float32)[-1]
+    s2 = np.cumsum(v * v, dtype=np.float32)[-1]
+    mean = np.float32(s / np.float32(n))
+    var = np.float32(s2 / np.float32(n)) - mean * mean
+    stdv = np.sqrt(var) if var > 0 else np.float32(0.0)
+    return float(mean), float(np.float32(stdv))
 
 
 def filter_events(mean: np.ndarray, stdv: np.ndarray, level: float) -> np.ndarray:

@@ -14,6 +14,7 @@
 // Build: make -C nanocall_tpu/native   (produces libnanocall_native.so)
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -21,15 +22,42 @@
 extern "C" {
 
 // Sorted-quantile abasic level: value at index n*(1 - top_percent/100),
-// clamped to the last element, plus offset.
+// clamped to the last element, plus offset.  The quantile value and the
+// sum are rounded through float32: the reference copies event means into a
+// vector<Float_Type> (f32) before sorting and stores the result in a
+// Float_Type field (Fast5_Summary.hpp:528-543), and the downstream
+// >=-threshold comparisons (filter_ed_event, island detection) happen
+// against that f32 value — with abasic_level_top_offset 0 (the r9 preset)
+// the threshold lands exactly ON an event, so whether f32 rounding went up
+// or down decides if the quantile event itself survives the filter.
 double nc_abasic_level(const double* means, int64_t n, double top_percent,
                        double top_offset) {
-    std::vector<double> s(means, means + n);
+    std::vector<float> s(means, means + n);
     int64_t idx = (int64_t)((double)n * (1.0 - top_percent / 100.0));
     if (idx > n - 1) idx = n - 1;
     if (idx < 0) idx = 0;
     std::nth_element(s.begin(), s.begin() + idx, s.end());
-    return s[idx] + top_offset;
+    return (double)(float)(s[idx] + (float)top_offset);
+}
+
+// Sequential float32 moment accumulation (alg::mean_stdv_of<Float_Type>,
+// shim alg.hpp / hpptools): s += v; s2 += v*v in f32 event order, then
+// mean = s/n, stdv = sqrtf(s2/n - mean^2).  The reference derives initial
+// scale/shift from these f32 moments (Fast5_Summary.hpp:223-278), and the
+// f32-vs-f64 accumulation gap is enough to flip a near-tie Viterbi base —
+// so exact FASTA parity on untrained runs requires bit-equal moments.
+void nc_mean_stdv_f32(const double* vals, int64_t n, double* out) {
+    float s = 0.0f, s2 = 0.0f;
+    for (int64_t i = 0; i < n; ++i) {
+        float v = (float)vals[i];
+        s += v;
+        s2 += v * v;
+    }
+    if (n == 0) { out[0] = 0.0; out[1] = 0.0; return; }
+    float mean = s / n;
+    float var = s2 / n - mean * mean;
+    out[0] = (double)mean;
+    out[1] = (double)(var > 0.0f ? sqrtf(var) : 0.0f);
 }
 
 // Islands of >= 5 consecutive events with mean >= level.  Writes up to

@@ -96,12 +96,17 @@ class PoreModel:
         )
 
     def mean(self) -> float:
-        """Mean of level_mean over states (Pore_Model.hpp:187,307-313)."""
-        return float(np.mean(self.level_mean.astype(np.float64)))
+        """Mean of level_mean over states (Pore_Model.hpp:187,307-313),
+        float32 sequential accumulation (alg::mean_stdv_of<Float_Type>)."""
+        from . import native
+
+        return native.mean_stdv_f32(self.level_mean)[0]
 
     def stdv(self) -> float:
-        """Population stdv of level_mean over states."""
-        return float(np.std(self.level_mean.astype(np.float64)))
+        """Population stdv of level_mean over states (same f32 semantics)."""
+        from . import native
+
+        return native.mean_stdv_f32(self.level_mean)[1]
 
     def scaled(self, params: PoreModelParams) -> "PoreModel":
         """Return a new model with per-read scaling applied

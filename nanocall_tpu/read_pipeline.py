@@ -53,11 +53,16 @@ class ReadSummary:
 
 def detect_abasic_level(means: np.ndarray, top_percent: float, top_offset: float) -> float:
     """99th-ish percentile + offset (Fast5_Summary.hpp:528-543): sort event
-    means, take the value at index size*(1 - top_percent/100), add offset."""
-    s = np.sort(means)
+    means, take the value at index size*(1 - top_percent/100), add offset.
+
+    Computed in float32 like the reference (vector<Float_Type>): with
+    top_offset 0 (the r9 preset) the threshold lands exactly ON an event
+    value, and the f32 rounding direction decides whether that event itself
+    survives filter_ed_event's mean >= abasic_level drop."""
+    s = np.sort(np.asarray(means, np.float32))
     idx = int(len(s) * (1.0 - top_percent / 100.0))
     idx = min(idx, len(s) - 1)
-    return float(s[idx]) + top_offset
+    return float(np.float32(s[idx] + np.float32(top_offset)))
 
 
 def find_islands_5_consec(means: np.ndarray, abasic_level: float):
@@ -200,6 +205,7 @@ def initial_scaling(
 ) -> None:
     """Moment-matching initial scale/shift per candidate model
     (Fast5_Summary.hpp:223-278); fills summary.pm_params / st_params."""
+    f32 = np.float32
     if summary.scale_strands_together:
         r = [evs[0].mean_stdv(), evs[1].mean_stdv()]
         for n0, m0 in models.items():
@@ -208,10 +214,13 @@ def initial_scaling(
             for n1, m1 in models.items():
                 if m1.strand not in (1, 2):
                     continue
-                scale = (r[0][1] / m0.stdv() + r[1][1] / m1.stdv()) / 2
-                shift = (
-                    r[0][0] - scale * m0.mean() + r[1][0] - scale * m1.mean()
-                ) / 2
+                # f32 arithmetic in the reference's evaluation order
+                # (Fast5_Summary.hpp:238-241: every operand is Float_Type)
+                scale = (f32(r[0][1]) / f32(m0.stdv())
+                         + f32(r[1][1]) / f32(m1.stdv())) / 2
+                shift = (f32(r[0][0]) - scale * f32(m0.mean())
+                         + f32(r[1][0]) - scale * f32(m1.mean())) / 2
+                scale, shift = float(scale), float(shift)
                 key = (n0, n1)
                 summary.pm_params[key] = PoreModelParams(scale=scale, shift=shift)
                 summary.st_params[key] = [
@@ -225,8 +234,10 @@ def initial_scaling(
             r_mean, r_std = evs[st].mean_stdv()
             for name, m in models.items():
                 if m.strand == st or m.strand == 2:
-                    scale = r_std / m.stdv()
-                    shift = r_mean - scale * m.mean()
+                    # f32 ops like the reference (Fast5_Summary.hpp:267-268)
+                    scale = f32(r_std) / f32(m.stdv())
+                    shift = f32(r_mean) - scale * f32(m.mean())
+                    scale, shift = float(scale), float(shift)
                     key = (name, "") if st == 0 else ("", name)
                     summary.pm_params[key] = PoreModelParams(scale=scale, shift=shift)
                     # BOTH entries default-construct with the CLI-tracking

@@ -76,7 +76,10 @@ def _emit(pm: PoreModel, states, params: PoreModelParams, t_start_s, rng,
         spm.level_mean[states] + params.drift * t_start_s,
         spm.level_stdv[states] * noise_scale,
     )
-    stdv = np.maximum(rng.normal(spm.sd_mean[states], spm.sd_stdv[states]), 0.05)
+    # stdv ~ InverseGaussian(sd_mean, sd_lambda) — the distribution the model
+    # being fit declares (Pore_Model.hpp:33-40,112); numpy's wald(mean, scale)
+    # is exactly InvGauss(mean, lambda=scale)
+    stdv = np.maximum(rng.wald(spm.sd_mean[states], spm.sd_lambda[states]), 0.05)
     return mean, stdv
 
 

@@ -157,15 +157,21 @@ def test_per_file_runs_concat_to_directory_run(sim_dir, tmp_path):
         for chunk in path.read_text().split(">")[1:]:
             head, *seq = chunk.splitlines()
             recs[head.split()[0]] = "".join(seq)
+        # a duplicated header would be silently last-wins merged into the
+        # dict; pin the raw record count to the distinct-header count
+        assert path.read_text().count(">") == len(recs)
         return recs
 
     merged = {}
+    n_per_file = 0
     for f5 in sorted(d.glob("*.fast5")):
         out_f = tmp_path / (f5.stem + ".fa")
         rc = cli_main([str(f5), "-o", str(out_f), "--resume-stats",
                        str(stats), "--pore", "r73"])
         assert rc == 0
+        n_per_file += out_f.read_text().count(">")
         merged.update(records(out_f))
+    assert n_per_file == len(merged)
     assert records(out_dir) == merged
 
 

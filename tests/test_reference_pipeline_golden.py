@@ -244,6 +244,117 @@ def test_trans_file_fasta_identical(ref_nanocall, datasets, tmp_path):
     assert ref_fa == my_fa
 
 
+def test_single_strand_scaling_fixed_rounds_params_agree(ref_nanocall, datasets):
+    """Pins the stopping-edge claim: the residual trained-FASTA divergence
+    in test_single_strand_scaling_trained_fasta comes from the
+    data-DEPENDENT stopping rules (min-progress straddling), not the EM
+    math.  Forcing the stopping edge off (--scaling-min-progress 0) and a
+    fixed round budget makes both implementations run the same number of
+    EM rounds, so the trained parameters must agree to ~2e-3 — the pure
+    f32-C++-vs-f64-batched accumulation drift over 10 rounds."""
+    f5s, txts, d = datasets
+    flags = ["--pore", "r73", "--single-strand-scaling",
+             "--scaling-min-progress", "0", "--scaling-max-rounds", "10"]
+    _, ref_stats = run_ref(ref_nanocall, txts, d, "ssfix", *flags)
+    _, my_stats = run_ours(f5s, d, "ssfix", *flags)
+    hdr = ref_stats.splitlines()[0].split("\t")
+    param_cols = [i for i, c in enumerate(hdr)
+                  if c.split("_", 1)[-1] in
+                  ("scale", "shift", "drift", "var", "scale_sd", "var_sd",
+                   "p_stay", "p_skip")]
+    ref_rows = ref_stats.strip().splitlines()[1:]
+    my_rows = my_stats.strip().splitlines()[1:]
+    assert len(ref_rows) == len(my_rows) > 0
+    worst = 0.0
+    for rl, ml in zip(ref_rows, my_rows):
+        rf, mf = rl.split("\t"), ml.split("\t")
+        for i in param_cols:
+            worst = max(worst, abs(float(rf[i]) - float(mf[i])))
+    assert worst < 5e-3, f"max trained-param divergence {worst}"
+
+
+@pytest.fixture(scope="module")
+def r9_datasets(tmp_path_factory):
+    """Simulated r9 reads + f5txt exports.  The r9 bank is extracted from
+    the reference's builtin_model_init_lists.inl (tools/extract_builtin_inl
+    .py) — the same .inl the compiled reference embeds
+    (Builtin_Model.cpp:1-17) — so these goldens validate the extraction
+    end-to-end, plus the r9 presets (abasic offset 0, window 10/5, no drift
+    training; nanocall.cpp:943-952).  The 2-strand read's hairpin sits at
+    150 pA: with abasic_level_top_offset=0 the detection threshold is the
+    raw 99th percentile of event means (~114 here, INSIDE the signal tail),
+    so a 110 pA hairpin would fall below it and the read would degrade to
+    template-only on both sides (still equal, but not exercising r9 strand
+    splitting)."""
+    d = tmp_path_factory.mktemp("golden_r9")
+    f5 = d / "fast5"
+    txt = d / "f5txt"
+    f5.mkdir()
+    txt.mkdir()
+    r9_models = load_builtin_models("r9")
+    rng = np.random.default_rng(20260819)
+    simulate.write_sim_fast5(f5 / "q1.fast5", r9_models, "r9.t.007", None,
+                             420, rng, read_id="q1", noise_scale=0.5)
+    simulate.write_sim_fast5(f5 / "q2.fast5", r9_models, "r9.t.007",
+                             "r9.c.p1.007", 700, rng, read_id="q2",
+                             noise_scale=0.5, abasic_level=150.0)
+    simulate.write_sim_fast5(f5 / "q3.fast5", r9_models, "r9.t.007", None,
+                             350, rng, read_id="q3", noise_scale=0.6)
+    names = ["q1.fast5", "q2.fast5", "q3.fast5"]
+    for n in names:
+        ref_tools.export_f5txt(str(f5 / n), str(txt / n))
+    return ([str(f5 / n) for n in names], [str(txt / n) for n in names], d)
+
+
+def test_r9_1d_no_train_fasta_identical(ref_nanocall, r9_datasets):
+    """--pore r9 --no-train --1d: byte-identical FASTA through the r9
+    model bank and presets.  This is sensitive to the abasic threshold's
+    float32 semantics: with top_offset 0 the threshold IS an event value,
+    and the f32 rounding direction decides whether that event survives
+    filter_ed_event (found as a real divergence — a ~0.98-identity read —
+    before detect_abasic_level was made f32-exact)."""
+    f5s, txts, d = r9_datasets
+    flags = ["--pore", "r9", "--no-train", "--1d"]
+    ref_fa, ref_stats = run_ref(ref_nanocall, txts, d, "r9_1d", *flags)
+    my_fa, my_stats = run_ours(f5s, d, "r9_1d", *flags)
+    assert ref_fa == my_fa
+    assert_stats_match(ref_stats, my_stats, float_rtol=5e-3)
+
+
+def test_r9_2strand_no_train_fasta_identical(ref_nanocall, r9_datasets):
+    """--pore r9 --no-train with strand splitting under the r9 preset:
+    byte-identical FASTA including the complement strand."""
+    f5s, txts, d = r9_datasets
+    flags = ["--pore", "r9", "--no-train"]
+    ref_fa, ref_stats = run_ref(ref_nanocall, txts, d, "r9_2s", *flags)
+    my_fa, my_stats = run_ours(f5s, d, "r9_2s", *flags)
+    assert ref_fa == my_fa
+    # the 2-strand read must actually split (guards the fixture)
+    assert any(":1" in name for name in ref_tools.parse_fasta(ref_fa))
+    assert_stats_match(ref_stats, my_stats, float_rtol=5e-3)
+
+
+def test_r9_trained_fasta(ref_nanocall, r9_datasets):
+    """--pore r9 full EM training + decode: exercises the preset's
+    train_drift=0 default (nanocall.cpp:949-951) end to end.  Same
+    last-ulp EM-drift tolerance as the r73 trained test."""
+    f5s, txts, d = r9_datasets
+    ref_fa, ref_stats = run_ref(ref_nanocall, txts, d, "r9_tr", "--pore", "r9")
+    my_fa, my_stats = run_ours(f5s, d, "r9_tr", "--pore", "r9")
+    if ref_fa != my_fa:
+        r, m = ref_tools.parse_fasta(ref_fa), ref_tools.parse_fasta(my_fa)
+        assert sorted(r) == sorted(m)
+        idents = {k: simulate.identity(r[k], m[k]) for k in r}
+        assert min(idents.values()) > 0.98, idents
+    assert_stats_match(ref_stats, my_stats, float_rtol=0.02)
+    # drift must NOT have been trained (r9 preset): every drift column is 0
+    for line in my_stats.strip().splitlines()[1:]:
+        f = line.split("\t")
+        hdr = my_stats.splitlines()[0].split("\t")
+        for st in (0, 1):
+            assert float(f[hdr.index(f"n{st}_drift")]) == 0.0
+
+
 def test_single_strand_scaling_trained_fasta(ref_nanocall, datasets):
     """--single-strand-scaling trains per-strand candidates independently;
     FASTA must byte-match or stay near-identical per record.
