@@ -768,6 +768,27 @@ class EventPool:
         return dev, idx
 
 
+def _pooled_ev_batch(pool_mean, pool_stdv, pool_start, idx, drifts, lengths):
+    """Gather a chunk's rows from the event pool and apply drift correction
+    (Event.hpp:77-84), producing the ev_batch dict the decode kernels
+    consume.  Pure jnp ops with no data-dependent control flow, so it runs
+    identically TRACED (inside _decode_chunk_pooled's jit) and EAGER (the
+    sparse / sharded branches) — the single point of truth for the
+    pool-gather + drift sequence all three decode dispatch branches share
+    (round 1's two semantic bugs were exactly branch-drift here)."""
+    import jax.numpy as jnp
+
+    mean = pool_mean[idx]
+    stdv = pool_stdv[idx]
+    start = pool_start[idx]
+    return {
+        "mean": mean - drifts[:, None] * start,
+        "stdv": stdv,
+        "log_stdv": jnp.log(stdv),
+        "length": lengths,
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("K", "with_path"))
 def _decode_chunk_pooled(pool_mean, pool_stdv, pool_start, idx, drifts, bank,
                          model_idx, pm_params, stp, lengths, K=6,
@@ -775,19 +796,10 @@ def _decode_chunk_pooled(pool_mean, pool_stdv, pool_start, idx, drifts, bank,
     """One fused device dispatch per decode chunk: gather the chunk's rows
     from the event pool, apply drift correction, build grouped tables and
     scaled model arrays on device, and run the Viterbi decode."""
-    import jax.numpy as jnp
-
-    mean = pool_mean[idx]
-    stdv = pool_stdv[idx]
-    start = pool_start[idx]
     gt = hmm.make_grouped_trans_device.__wrapped__(stp[:, 0], stp[:, 1], K)
     model = hmm.make_scaled_model_arrays.__wrapped__(bank, model_idx, pm_params)
-    ev_batch = {
-        "mean": mean - drifts[:, None] * start,
-        "stdv": stdv,
-        "log_stdv": jnp.log(stdv),
-        "length": lengths,
-    }
+    ev_batch = _pooled_ev_batch(pool_mean, pool_stdv, pool_start, idx,
+                                drifts, lengths)
     return hmm.viterbi_decode_grouped.__wrapped__(
         gt, model, ev_batch, with_path=with_path,
         compact_path=with_path,  # halve the path fetch (relay-bound)
@@ -883,26 +895,20 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
             # length=0, exactly like the old all-ones pad row)
             pool_dev, idx = ev_pool.bucket(sub, T)
             idx = np.concatenate([idx, np.zeros(Bc - len(sub), np.int32)])
-            # NOTE: the three branches below (sparse / sharded-grouped /
-            # fused-grouped) repeat the pool-gather + drift-correction +
-            # table/model assembly sequence.  They are kept inline on
-            # purpose — the fused branch must stay a single jitted program
-            # (compiled-shape stability is worth minutes on this backend)
-            # — so a semantic change to one MUST be applied to all three.
+            # The three dispatch branches (sparse / sharded-grouped /
+            # fused-grouped) share _pooled_ev_batch and
+            # make_scaled_model_arrays as the single point of truth for
+            # the pool-gather + drift + model assembly sequence; the fused
+            # branch stays one jitted program (compiled-shape stability is
+            # worth minutes on this backend) by tracing the same helpers.
+            # tests/test_pipeline.py::test_decode_branches_agree pins the
+            # three outputs equal on a shared workload.
             if sparse_ops is not None and all(is_sparse_task(t) for t in sub):
-                idx_d = jnp.asarray(idx)
-                stacked = {
-                    k: pool_dev[k][idx_d] for k in ("mean", "stdv", "start")
-                }
                 model = hmm.make_scaled_model_arrays(bank, model_idx, pm_params)
-                ev_batch = {
-                    # drift correction on device (Event.hpp:77-84)
-                    "mean": stacked["mean"]
-                    - jnp.asarray(drifts)[:, None] * stacked["start"],
-                    "stdv": stacked["stdv"],
-                    "log_stdv": jnp.log(stacked["stdv"]),
-                    "length": length,
-                }
+                ev_batch = _pooled_ev_batch(
+                    pool_dev["mean"], pool_dev["stdv"], pool_dev["start"],
+                    jnp.asarray(idx), jnp.asarray(drifts), length,
+                )
                 model, ev_batch = sharder.shard((model, ev_batch), Bc)
                 out = hmm.viterbi_decode(
                     sparse_ops, model, ev_batch, with_path=with_path
@@ -910,10 +916,6 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
             elif sharder.active:
                 # multi-device: gather rows, then shard the batch over the
                 # 'data' mesh axis
-                idx_d = jnp.asarray(idx)
-                stacked = {
-                    k: pool_dev[k][idx_d] for k in ("mean", "stdv", "start")
-                }
                 gt = hmm.make_grouped_trans_device(
                     stp[:, 0].astype(np.float32), stp[:, 1].astype(np.float32),
                     K=cfg.kmer_size,
@@ -922,13 +924,10 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                     {k: jnp.asarray(v) for k, v in bank.items()},
                     model_idx, pm_params,
                 )
-                ev_batch = {
-                    "mean": stacked["mean"]
-                    - jnp.asarray(drifts)[:, None] * stacked["start"],
-                    "stdv": stacked["stdv"],
-                    "log_stdv": jnp.log(stacked["stdv"]),
-                    "length": length,
-                }
+                ev_batch = _pooled_ev_batch(
+                    pool_dev["mean"], pool_dev["stdv"], pool_dev["start"],
+                    jnp.asarray(idx), jnp.asarray(drifts), length,
+                )
                 gt, model, ev_batch = sharder.shard((gt, model, ev_batch), Bc)
                 out = hmm.viterbi_decode_grouped(
                     gt, model, ev_batch, with_path=with_path,

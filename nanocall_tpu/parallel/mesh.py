@@ -100,6 +100,29 @@ def shard_decode_inputs(mesh: Mesh, ops, model, ev):
     return ops, model, ev
 
 
+def shard_pooled_decode_inputs(mesh: Mesh, pool_mean, pool_stdv, pool_start,
+                               idx, drifts, bank, model_idx, pm_params, stp,
+                               lengths):
+    """Place the PRODUCTION fused decode program's inputs
+    (basecall._decode_chunk_pooled: event-pool gather + device-built grouped
+    tables + device-scaled model bank + grouped Viterbi w/ compact codes) on
+    an (data, model) mesh: every batch-leading array shards over 'data', the
+    model bank's 4096-state axis over 'model' (GSPMD propagates the state
+    sharding through scale_arrays -> emissions -> the grouped recursion's
+    reshape views and inserts the collectives).  Returns the argument tuple
+    in _decode_chunk_pooled order."""
+    dp = NamedSharding(mesh, P("data"))
+    bank_sh = NamedSharding(mesh, P(None, "model"))
+    put = jax.device_put
+    return (
+        put(pool_mean, dp), put(pool_stdv, dp), put(pool_start, dp),
+        put(idx, dp), put(drifts, dp),
+        {k: put(v, bank_sh) for k, v in bank.items()},
+        put(model_idx, dp), put(pm_params, dp), put(stp, dp),
+        put(lengths, dp),
+    )
+
+
 def shard_train_inputs(mesh: Mesh, ev, models, pm_params, st_params):
     """Place training-batch inputs: groups over 'data', states over 'model'."""
     def dp(*spec):

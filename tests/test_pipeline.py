@@ -583,3 +583,70 @@ def test_dump_training_data(tmp_path):
                 mass = np.exp(row).sum()
                 assert 0.9 < mass <= 1.0 + 1e-4, (i, mass)
     assert n_rows == n
+
+
+def test_decode_branches_agree(sim_dir, models):
+    """The three decode dispatch branches in basecall._decode_pass (fused
+    grouped / sharded grouped / sparse+grouped partition) must produce the
+    same winners on one shared mixed workload — the automated tripwire for
+    branch drift (round 1's two semantic bugs were exactly here).
+
+    The sparse table is built from the structured table's EXACT f32 values
+    (not a %g TSV round trip), so sparse-vs-grouped equality is the
+    grouped decomposition's exactness, not text-precision luck.  Half the
+    reads get non-default st_params so the sparse run exercises the
+    partition (trained tasks -> grouped, default tasks -> sparse) inside
+    one _decode_pass call.
+    """
+    from nanocall_tpu import transitions
+    from nanocall_tpu.transitions import TransitionParams, sparse_from_pairs
+
+    d, _ = sim_dir
+    cfg = Config(pore="r73", train=False).apply_pore_preset()
+    files = read_pipeline.init_files([str(d)])
+    summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
+    # mark every other read's candidates as trained (non-default st params
+    # + a mild pm perturbation) so branch selection differs per task
+    for ridx, s in enumerate(summaries):
+        if ridx % 2 == 0:
+            continue
+        for key in s.st_params:
+            s.st_params[key] = [TransitionParams(0.12, 0.27),
+                                TransitionParams(0.12, 0.27)]
+
+    st = transitions.build_structured(TransitionParams(cfg.pr_stay, cfg.pr_skip),
+                                      cfg.kmer_size)
+    from_idx, _, _, _ = transitions._slot_maps(cfg.kmer_size)
+    n = st.n_states
+    pairs = [
+        (int(from_idx[k, j]), j, float(st.from_logp[k, j]))
+        for k in range(from_idx.shape[0])
+        for j in range(n)
+        if np.isfinite(st.from_logp[k, j])
+    ]
+    sparse = sparse_from_pairs(pairs, cfg.kmer_size)
+
+    def run(num_shards, default_transitions):
+        import copy
+
+        cfg_run = Config(pore="r73", train=False,
+                         num_shards=num_shards).apply_pore_preset()
+        sums = copy.deepcopy(summaries)
+        tasks, _ = basecall.build_decode_tasks(sums, models, cfg_run)
+        winners = basecall.run_decode_tasks(tasks, sums, models, cfg_run,
+                                            default_transitions)
+        return sorted(
+            ((t.read_idx, t.strand, t.key, t.logp, tuple(t.path))
+             for t in winners),
+            key=lambda w: w[:3],
+        )
+
+    fused = run(1, None)
+    sharded = run(8, None)
+    mixed = run(1, sparse)
+    assert len(fused) == len(sharded) == len(mixed) > 0
+    for a, b, c in zip(fused, sharded, mixed):
+        assert a[:3] == b[:3] == c[:3]
+        assert a[4] == b[4] == c[4]  # exact path equality
+        assert np.isclose(a[3], b[3], rtol=1e-6)
+        assert np.isclose(a[3], c[3], rtol=1e-6)

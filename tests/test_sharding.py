@@ -104,6 +104,53 @@ def test_2d_mesh_decode():
     assert np.array_equal(np.asarray(ref["path"]), np.asarray(out["path"]))
 
 
+def test_2d_mesh_production_decode_matches_single():
+    """The PRODUCTION fused decode program (basecall._decode_chunk_pooled:
+    pool gather + drift + device-built grouped tables + scaled bank +
+    compact traceback codes) runs on an (data, model) 2-D mesh — bank
+    states sharded over 'model', batch over 'data' — and must be
+    bit-identical to the single-device run.  This is the same program
+    shape production dispatches per chunk (K=6, real r73 bank), not the
+    21-slot fallback."""
+    from nanocall_tpu import basecall
+    from nanocall_tpu.models import load_builtin_models
+    from nanocall_tpu.parallel.mesh import shard_pooled_decode_inputs
+
+    rng = np.random.default_rng(3)
+    B, T = 8, 48
+    pm = load_builtin_models("r73")["r73.t.006"]
+    pool_mean = rng.uniform(40.0, 90.0, (B, T)).astype(np.float32)
+    pool_stdv = rng.uniform(0.5, 1.5, (B, T)).astype(np.float32)
+    pool_start = np.cumsum(
+        rng.uniform(0.01, 0.05, (B, T)).astype(np.float32), axis=-1
+    )
+    bank = {
+        "level_mean": pm.level_mean[None].astype(np.float32),
+        "level_stdv": pm.level_stdv[None].astype(np.float32),
+        "sd_mean": pm.sd_mean[None].astype(np.float32),
+        "sd_lambda": pm.sd_lambda[None].astype(np.float32),
+    }
+    pm_params = np.zeros((B, 6), np.float32)
+    pm_params[:, [0, 3, 4, 5]] = 1.0
+    pm_params[:, 1] = rng.uniform(-1, 1, B)
+    stp = np.stack([rng.uniform(0.08, 0.12, B), rng.uniform(0.25, 0.35, B)],
+                   axis=-1).astype(np.float32)
+    lengths = rng.integers(T // 2, T + 1, B).astype(np.int32)
+    args = (pool_mean, pool_stdv, pool_start, np.arange(B, dtype=np.int32),
+            np.full(B, 0.01, np.float32), bank, np.zeros(B, np.int32),
+            pm_params, stp, lengths)
+    ref = jax.device_get(basecall._decode_chunk_pooled(*args, K=6,
+                                                       with_path=True))
+
+    mesh = make_mesh(8, model_axis=2)
+    with mesh:
+        s_args = shard_pooled_decode_inputs(mesh, *args)
+        out = jax.device_get(basecall._decode_chunk_pooled(*s_args, K=6,
+                                                           with_path=True))
+    for k in ("logp", "path0", "codes"):
+        assert np.array_equal(np.asarray(ref[k]), np.asarray(out[k])), k
+
+
 def test_sharded_pipeline_equals_single(tmp_path):
     """Full pipeline with num_shards=8 must produce the same FASTA as the
     single-device run (reads are independent; data parallelism only)."""
