@@ -146,6 +146,7 @@ def measure_tpu(B: int, T: int, n_iter: int = 8) -> dict:
         "batch_ms": total * 1e3,
         "host_assembly_ms": host_dt * 1e3,
         "reads_per_s": B / total,
+        "n_states": int(pm.level_mean.shape[0]),
     }
 
 
@@ -174,16 +175,20 @@ def measure_e2e(n_reads: int, n_events: int, train: bool,
         cfg = Config(pore="r73", train=train).apply_pore_preset()
         files = read_pipeline.init_files([d])
 
+        from nanocall_tpu.observe import StageTimer
+
         def run_once():
             t0 = time.time()
-            # streamed ingest+train: summarize/load overlaps EM device time
-            ev_pool = basecall.EventPool()
-            summaries = basecall.summarize_and_train(
-                files, models, cfg, ev_pool=ev_pool, train_enabled=train
+            # fully overlapped pipeline (basecall.run_pipeline): ingest
+            # overlaps EM, decode dispatch overlaps phase-2 straggler EM,
+            # winner path decodes dispatch as scores land
+            timer = StageTimer()
+            summaries, results = basecall.run_pipeline(
+                files, models, cfg, timer=timer
             )
-            t_train = time.time() - t0
-            results = basecall.basecall_reads(summaries, models, cfg,
-                                              ev_pool=ev_pool)
+            stages = timer.summary()
+            t_train = stages.get("training",
+                                 stages.get("init_reads", {})).get("wall_s", 0.0)
             return summaries, results, t_train, time.time() - t0
 
         # pass 1 warms the per-process deferred device compiles (the axon
@@ -233,6 +238,9 @@ def main():
     ap.add_argument("--no-train", action="store_true")
     ap.add_argument("--passes", type=int, default=3,
                     help="steady-state e2e passes (median reported)")
+    ap.add_argument("--no-mfu", action="store_true",
+                    help="skip the MFU/roofline accounting (one extra "
+                         "compiled shape: the same-shape FMA-peak scan)")
     ap.add_argument("--debug", action="store_true",
                     help="debug logging (sub-stage pack/fetch timers)")
     args = ap.parse_args()
@@ -283,6 +291,43 @@ def main():
         print(f"cpu baseline: {cpu:,.0f} events/s", file=sys.stderr)
 
     res = measure_tpu(B, T, n_iter=3 if args.quick else 8)
+    detail = {
+        "B": B,
+        "T": T,
+        "pipelined_ms_per_batch": round(res["batch_ms"], 1),
+        "host_assembly_ms": round(res["host_assembly_ms"], 1),
+        "reads_per_s": round(res["reads_per_s"], 1),
+        "cpu_baseline_events_per_s": cpu,
+    }
+    if not args.no_mfu:
+        # MFU / roofline accounting (nanocall_tpu/roofline.py): itemized
+        # ops-per-event model of the grouped forward + traceback, vs (a) a
+        # MEASURED FMA peak at the recursion's own scan shape and (b) the
+        # v5e VPU spec peak.  Reproducible: every count cites the kernel
+        # expression it tallies.
+        from nanocall_tpu import roofline
+
+        n = res["n_states"]
+        # op-count-matched chain: same per-step work as the grouped forward
+        k = max(8, round(
+            roofline.grouped_forward_ops_per_event(n)["total"] / (2 * n)))
+        fma_peak, _ = roofline.measure_fma_peak(
+            B, n, T=T, k=k, n_iter=2 if args.quick else 4)
+        rep = roofline.mfu_report(B, T, n, res["batch_ms"] / 1e3,
+                                  fma_peak_ops_per_s=fma_peak)
+        detail["mfu"] = {
+            "ops_per_event_per_row": rep["ops_per_event_per_row"]["total"],
+            "ops_breakdown": {
+                k: v for k, v in rep["ops_per_event_per_row"].items()
+                if k != "total"
+            },
+            "achieved_vpu_teraops": round(
+                rep["achieved_vpu_ops_per_s"] / 1e12, 2),
+            "measured_fma_peak_teraops": round(fma_peak / 1e12, 2),
+            "mfu_vs_measured_fma_peak": round(
+                rep["mfu_vs_measured_fma_peak"], 3),
+            "mfu_vs_v5e_vpu_spec": round(rep["mfu_vs_v5e_vpu_spec"], 3),
+        }
     print(
         json.dumps(
             {
@@ -290,14 +335,7 @@ def main():
                 "value": round(res["events_per_s"]),
                 "unit": "events/s",
                 "vs_baseline": round(res["events_per_s"] / cpu, 2),
-                "detail": {
-                    "B": B,
-                    "T": T,
-                    "pipelined_ms_per_batch": round(res["batch_ms"], 1),
-                    "host_assembly_ms": round(res["host_assembly_ms"], 1),
-                    "reads_per_s": round(res["reads_per_s"], 1),
-                    "cpu_baseline_events_per_s": cpu,
-                },
+                "detail": detail,
             }
         )
     )

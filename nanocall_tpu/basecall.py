@@ -407,55 +407,100 @@ class _EMDriver:
                     self.pending.append((sub, bT, out_dev))
             rest.clear()
 
-    def finish(self) -> None:
-        """Flush, fetch phase 1 in dispatch order, repack stragglers
-        (phase 2), scatter results, and run model selection."""
+    def finish_phase1(self) -> list:
+        """Flush, fetch phase 1 in dispatch order, scatter, and DISPATCH
+        (async) the phase-2 straggler chunks.  Returns the read indices
+        whose every candidate group is already final — those reads can
+        begin decode (score-pass packing/dispatch) while phase-2 EM runs
+        on device; per-read model selection has been applied to them.
+
+        The returned list plus finish_phase2()'s covers every trained read
+        exactly once."""
         import time as _time
 
         self._flush()
+        self.pending2 = []
+        self._straggler_reads = []
         if not self.pending:
-            return
+            return []
         # fetch + scatter in dispatch order; one device_get across every
         # bucket (each per-array host fetch is a full relay round trip)
         t_fetch0 = _time.time()
         fetched = jax.device_get([out for _, _, out in self.pending])
         leftovers = []  # (group, (fit, frozen, rounds) carry, T)
+        # per-read non-final group counts -> decode readiness
+        left_of: dict[int, int] = {}
+        for sub, T, _ in self.pending:
+            for grp in sub:
+                left_of[grp.read_idx] = left_of.get(grp.read_idx, 0) + 1
         for (sub, T, _), out_host in zip(self.pending, fetched):
             pm_f, st_f, fit, rounds, frozen = train.fetch_em_result(out_host)
             for gi, grp in enumerate(sub):
+                final = bool(frozen[gi]) or self.phase1 is None
                 self._scatter(grp, pm_f[gi], st_f[gi], fit[gi], rounds[gi],
-                              final=bool(frozen[gi]) or self.phase1 is None)
-                if self.phase1 is not None and not frozen[gi]:
+                              final=final)
+                if final:
+                    left_of[grp.read_idx] -= 1
+                else:
                     leftovers.append((grp, (fit[gi], False, rounds[gi]), T))
         self.n_stragglers = len(leftovers)
-        t_p2 = _time.time()
+        self._t_fetch0 = t_fetch0
+        self._t_p1 = _time.time()
         if leftovers:
             buckets2 = batching.make_buckets(
                 [T for _, _, T in leftovers], self.cfg.train_group_batch,
                 BP_MEM_BUDGET, kmer.n_states(self.cfg.kmer_size),
                 bytes_per_cell=48,
             )
-            pending2 = []
             for T, B, chunks in buckets2:
                 for chunk in chunks:
                     entries = [leftovers[i] for i in chunk]
                     sub = [e[0] for e in entries]
                     out_dev = self._dispatch(sub, T, B,
                                              [e[1] for e in entries], None)
-                    pending2.append((sub, out_dev))
-            fetched2 = jax.device_get([out for _, out in pending2])
-            for (sub, _), out_host in zip(pending2, fetched2):
-                pm_f, st_f, fit, rounds, frozen = train.fetch_em_result(out_host)
-                for gi, grp in enumerate(sub):
-                    self._scatter(grp, pm_f[gi], st_f[gi], fit[gi], rounds[gi],
-                                  final=True)
-        log.debug(
-            "train_pass groups=%d buckets=%d stragglers=%d "
-            "ingest_dispatch_s=%.2f p1_fetch_s=%.2f p2_s=%.2f",
-            self.n_groups, len(self.pending), len(leftovers),
-            t_fetch0 - self._t0, t_p2 - t_fetch0, _time.time() - t_p2,
+                    self.pending2.append((sub, out_dev))
+        self._straggler_reads = sorted(
+            r for r, c in left_of.items() if c > 0
         )
-        _select_models(self.summaries, self.cfg)
+        ready = sorted(r for r, c in left_of.items() if c == 0)
+        for r in ready:
+            _select_read_models(self.summaries[r], self.cfg)
+        return ready
+
+    def finish_phase2(self) -> list:
+        """Fetch the phase-2 straggler results dispatched by
+        finish_phase1(), scatter, and return the newly ready read indices
+        (model selection applied)."""
+        import time as _time
+
+        if self.pending2:
+            fetched2 = jax.device_get([o for _, o in self.pending2])
+            for (sub, _), out_host in zip(self.pending2, fetched2):
+                pm_f, st_f, fit, rounds, frozen = train.fetch_em_result(
+                    out_host)
+                for gi, grp in enumerate(sub):
+                    self._scatter(grp, pm_f[gi], st_f[gi], fit[gi],
+                                  rounds[gi], final=True)
+        if self.pending:
+            log.debug(
+                "train_pass groups=%d buckets=%d stragglers=%d "
+                "ingest_dispatch_s=%.2f p1_fetch_s=%.2f p2_s=%.2f",
+                self.n_groups, len(self.pending), self.n_stragglers,
+                self._t_fetch0 - self._t0, self._t_p1 - self._t_fetch0,
+                _time.time() - self._t_p1,
+            )
+        ready = self._straggler_reads
+        for r in ready:
+            _select_read_models(self.summaries[r], self.cfg)
+        return ready
+
+    def finish(self) -> None:
+        """Flush, fetch phase 1, repack + run stragglers (phase 2), scatter
+        results, and run model selection — the non-overlapped form
+        (finish_phase1 + finish_phase2 back to back; the overlapped
+        pipeline interleaves decode dispatch between the two)."""
+        self.finish_phase1()
+        self.finish_phase2()
 
 
 def train_reads(summaries, models, cfg: Config, ev_pool=None) -> None:
@@ -522,39 +567,113 @@ def summarize_and_train(files, models, cfg: Config, ev_pool=None,
     return summaries
 
 
-def _select_models(summaries, cfg: Config) -> None:
-    """Best-model selection after training (nanocall.cpp:437-459,552-570):
-    pick the highest-fit candidate if it beats every other by
-    scaling_select_threshold."""
-    thr = cfg.scaling_select_threshold
-    if not (thr < np.inf):
-        return
-    for s in summaries:
-        if not s.fits:
-            continue
-        joint_keys = [k for k in s.fits if k[0] and k[1]]
-        if joint_keys:
-            best = max(joint_keys, key=lambda k: s.fits[k])
-            if all(
-                k == best or s.fits[k] + thr < s.fits[best] for k in joint_keys
-            ):
-                s.preferred_model[2] = best
-                log.info(
-                    "selected_model read [%s] strand [2] model [%s]",
-                    s.read_id, "+".join(best),
-                )
+def run_pipeline(files, models, cfg: Config, default_transitions=None,
+                 timer=None):
+    """Fully pipelined ingest -> EM training -> decode:
+
+      1. fork-pool ingest streams reads in; EM chunks dispatch as length
+         buckets fill (host parsing overlaps EM device time);
+      2. after phase-1 EM, ~90%% of reads' candidate groups are final
+         (config.py em_phase1_rounds histogram): those reads' decode
+         score/path chunks are packed and dispatched BEHIND the phase-2
+         straggler EM chunks on the device queue, so straggler training
+         and decode overlap instead of serializing;
+      3. winners path-decode per bucket as their contest's scores land
+         (_DecodeDriver), not after the full score pass.
+
+    Returns (summaries, results).  Output-identical to
+    summarize_and_train + basecall_reads (chunk membership affects neither
+    EM trajectories nor per-task decode results; pinned by
+    test_overlapped_pipeline_matches_staged and the FASTA goldens).
+
+    `timer` (observe.StageTimer) gets a "training" stage ending when
+    phase-2 EM results are fetched and a "basecalling" stage for the
+    remainder — approximate attribution, since the stages genuinely
+    overlap."""
+    import contextlib
+
+    from . import ingest
+
+    ev_pool = EventPool() if cfg.basecall else None
+    summaries: list = []
+    driver = _EMDriver(summaries, models, cfg) if cfg.train else None
+    stage = timer.stage if timer is not None else (
+        lambda name: contextlib.nullcontext()
+    )
+    with stage("training" if cfg.train else "init_reads"):
+        for s, evs in ingest.ingest_stream(files, models, cfg):
+            summaries.append(s)
+            log.info("summary: [%s num_ed_events=%d]", s.base_file_name,
+                     s.num_ed_events)
+            if s.num_ed_events == 0:
+                continue
+            ridx = len(summaries) - 1
+            if ev_pool is not None:
+                ev_pool.events[ridx] = evs
+                for st in (0, 1):
+                    if s.scale_strands_together or len(evs[st]) >= cfg.min_ed_events:
+                        ev_pool.add(ridx, st, evs[st])
+            if driver is not None:
+                driver.add(_read_train_groups(ridx, s, models, cfg, evs))
+        if ev_pool is not None:
+            ev_pool.upload_now()
+        if not cfg.basecall:
+            if driver is not None:
+                driver.finish()
+            return summaries, []
+        dec = _DecodeDriver(summaries, models, cfg, default_transitions,
+                            ev_pool=ev_pool)
+        if driver is not None:
+            # phase-1 fetch + phase-2 dispatch; then pack/dispatch decode
+            # work for the already-final reads while phase 2 trains
+            for ridx in driver.finish_phase1():
+                dec.add_read(ridx)
+            for ridx in driver.finish_phase2():
+                dec.add_read(ridx)
         else:
-            for st in (0, 1):
-                keys = [k for k in s.fits if k[st] and not k[1 - st]]
-                if not keys:
-                    continue
-                best = max(keys, key=lambda k: s.fits[k])
-                if all(k == best or s.fits[k] + thr < s.fits[best] for k in keys):
-                    s.preferred_model[st] = best[st]
-                    log.info(
-                        "selected_model read [%s] strand [%d] model [%s]",
-                        s.read_id, st, best[st],
-                    )
+            for ridx in range(len(summaries)):
+                dec.add_read(ridx)
+    with stage("basecalling"):
+        winners = dec.finish()
+        results = select_and_assemble(winners, summaries, cfg)
+    return summaries, results
+
+
+def _select_read_models(s, cfg: Config) -> None:
+    """Best-model selection for ONE read after its training is final
+    (nanocall.cpp:437-459,552-570): pick the highest-fit candidate if it
+    beats every other by scaling_select_threshold."""
+    thr = cfg.scaling_select_threshold
+    if not (thr < np.inf) or not s.fits:
+        return
+    joint_keys = [k for k in s.fits if k[0] and k[1]]
+    if joint_keys:
+        best = max(joint_keys, key=lambda k: s.fits[k])
+        if all(
+            k == best or s.fits[k] + thr < s.fits[best] for k in joint_keys
+        ):
+            s.preferred_model[2] = best
+            log.info(
+                "selected_model read [%s] strand [2] model [%s]",
+                s.read_id, "+".join(best),
+            )
+    else:
+        for st in (0, 1):
+            keys = [k for k in s.fits if k[st] and not k[1 - st]]
+            if not keys:
+                continue
+            best = max(keys, key=lambda k: s.fits[k])
+            if all(k == best or s.fits[k] + thr < s.fits[best] for k in keys):
+                s.preferred_model[st] = best[st]
+                log.info(
+                    "selected_model read [%s] strand [%d] model [%s]",
+                    s.read_id, st, best[st],
+                )
+
+
+def _select_models(summaries, cfg: Config) -> None:
+    for s in summaries:
+        _select_read_models(s, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -574,6 +693,43 @@ class DecodeTask:
     path: np.ndarray | None = None
 
 
+def _read_decode_tasks(ridx, s, cfg, evs) -> list:
+    """One read's per-(strand, candidate) Viterbi tasks
+    (nanocall.cpp:692-855)."""
+    tasks = []
+    if s.scale_strands_together:
+        pref = s.preferred_model.get(2)
+        if pref:
+            sublist = [pref]
+        else:
+            sublist = [k for k in s.pm_params if k[0] and k[1]]
+        for key in sublist:
+            for st in (0, 1):
+                tasks.append(
+                    DecodeTask(
+                        read_idx=ridx, strand=st, key=key,
+                        model_name=key[st], ev=evs[st],
+                    )
+                )
+    else:
+        for st in (0, 1):
+            if len(evs[st]) < cfg.min_ed_events:
+                continue
+            pref = s.preferred_model.get(st)
+            if pref:
+                keys = [(pref, "") if st == 0 else ("", pref)]
+            else:
+                keys = [k for k in s.pm_params if k[st] and not k[1 - st]]
+            for key in keys:
+                tasks.append(
+                    DecodeTask(
+                        read_idx=ridx, strand=st, key=key,
+                        model_name=key[st], ev=evs[st],
+                    )
+                )
+    return tasks
+
+
 def build_decode_tasks(summaries, models, cfg, ev_pool=None) -> tuple[list, dict]:
     """Expand reads into per-(strand, candidate) Viterbi tasks
     (nanocall.cpp:692-855).  With ev_pool, per-read events come from (and
@@ -588,36 +744,7 @@ def build_decode_tasks(summaries, models, cfg, ev_pool=None) -> tuple[list, dict
         else:
             evs = read_pipeline.load_events(s, cfg)
         read_events[ridx] = evs
-        if s.scale_strands_together:
-            pref = s.preferred_model.get(2)
-            if pref:
-                sublist = [pref]
-            else:
-                sublist = [k for k in s.pm_params if k[0] and k[1]]
-            for key in sublist:
-                for st in (0, 1):
-                    tasks.append(
-                        DecodeTask(
-                            read_idx=ridx, strand=st, key=key,
-                            model_name=key[st], ev=evs[st],
-                        )
-                    )
-        else:
-            for st in (0, 1):
-                if len(evs[st]) < cfg.min_ed_events:
-                    continue
-                pref = s.preferred_model.get(st)
-                if pref:
-                    keys = [(pref, "") if st == 0 else ("", pref)]
-                else:
-                    keys = [k for k in s.pm_params if k[st] and not k[1 - st]]
-                for key in keys:
-                    tasks.append(
-                        DecodeTask(
-                            read_idx=ridx, strand=st, key=key,
-                            model_name=key[st], ev=evs[st],
-                        )
-                    )
+        tasks.extend(_read_decode_tasks(ridx, s, cfg, evs))
     return tasks, read_events
 
 
@@ -806,6 +933,152 @@ def _decode_chunk_pooled(pool_mean, pool_stdv, pool_start, idx, drifts, bank,
     )
 
 
+def _dispatch_decode_chunk(sub, T, Bc, summaries, models, cfg: Config,
+                           sharder, sparse_ops, sparse_chunk: bool,
+                           with_path: bool, ev_pool):
+    """Pack one decode chunk (Bc slots, padded) and dispatch it (async).
+    Returns the on-device output tree."""
+    import jax.numpy as jnp
+
+    n = kmer.n_states(cfg.kmer_size)
+    length = np.zeros(Bc, np.int32)
+    drifts = np.zeros(Bc, np.float32)
+    pm_params = np.zeros((Bc, 6), np.float32)
+    pm_params[:, [0, 3, 4, 5]] = 1.0
+    model_idx = np.zeros(Bc, np.int32)
+    name_ids: dict = {}
+    stp = np.full((Bc, 2), [0.1, 0.3], np.float64)
+    for bi, t in enumerate(sub):
+        s = summaries[t.read_idx]
+        params = s.pm_params[t.key]
+        pm = models[t.model_name]
+        L = len(t.ev)
+        if L and abs(
+            float(np.mean(t.ev.mean))
+            - (pm.mean() * params.scale + params.shift)
+        ) > 5.0:
+            # scaling sanity warning (nanocall.cpp:673-683)
+            log.warning(
+                "means_apart read [%s] strand [%d] model [%s] "
+                "model_mean=[%g] events_mean=[%g]",
+                s.read_id, t.strand, t.model_name,
+                pm.mean() * params.scale + params.shift,
+                float(np.mean(t.ev.mean)),
+            )
+        model_idx[bi] = name_ids.setdefault(t.model_name, len(name_ids))
+        pm_params[bi] = params.as_array()
+        drifts[bi] = params.drift
+        length[bi] = L
+        sp = s.st_params[t.key][t.strand]
+        stp[bi] = [sp.p_stay, sp.p_skip]
+    # model bank: each distinct model uploads once; scaling happens
+    # on device (hmm.make_scaled_model_arrays)
+    M = max(4, len(name_ids))
+    bank = {
+        k: np.ones((M, n), np.float32)
+        for k in ("level_mean", "level_stdv", "sd_mean", "sd_lambda")
+    }
+    for name, mi in name_ids.items():
+        pm = models[name]
+        bank["level_mean"][mi] = pm.level_mean
+        bank["level_stdv"][mi] = pm.level_stdv
+        bank["sd_mean"][mi] = pm.sd_mean
+        bank["sd_lambda"][mi] = pm.sd_lambda
+    # chunk rows come from the event pool: idx selects each task's
+    # (read, strand) row; padding slots reuse row 0 (masked by
+    # length=0, exactly like the old all-ones pad row)
+    pool_dev, idx = ev_pool.bucket(sub, T)
+    idx = np.concatenate([idx, np.zeros(Bc - len(sub), np.int32)])
+    # The three dispatch branches (sparse / sharded-grouped /
+    # fused-grouped) share _pooled_ev_batch and
+    # make_scaled_model_arrays as the single point of truth for
+    # the pool-gather + drift + model assembly sequence; the fused
+    # branch stays one jitted program (compiled-shape stability is
+    # worth minutes on this backend) by tracing the same helpers.
+    # tests/test_pipeline.py::test_decode_branches_agree pins the
+    # three outputs equal on a shared workload.
+    if sparse_chunk:
+        model = hmm.make_scaled_model_arrays(bank, model_idx, pm_params)
+        ev_batch = _pooled_ev_batch(
+            pool_dev["mean"], pool_dev["stdv"], pool_dev["start"],
+            jnp.asarray(idx), jnp.asarray(drifts), length,
+        )
+        model, ev_batch = sharder.shard((model, ev_batch), Bc)
+        return hmm.viterbi_decode(
+            sparse_ops, model, ev_batch, with_path=with_path
+        )
+    if sharder.active:
+        # multi-device: gather rows, then shard the batch over the
+        # 'data' mesh axis
+        gt = hmm.make_grouped_trans_device(
+            stp[:, 0].astype(np.float32), stp[:, 1].astype(np.float32),
+            K=cfg.kmer_size,
+        )
+        model = hmm.make_scaled_model_arrays(
+            {k: jnp.asarray(v) for k, v in bank.items()},
+            model_idx, pm_params,
+        )
+        ev_batch = _pooled_ev_batch(
+            pool_dev["mean"], pool_dev["stdv"], pool_dev["start"],
+            jnp.asarray(idx), jnp.asarray(drifts), length,
+        )
+        gt, model, ev_batch = sharder.shard((gt, model, ev_batch), Bc)
+        return hmm.viterbi_decode_grouped(
+            gt, model, ev_batch, with_path=with_path,
+            compact_path=with_path,
+        )
+    # grouped fast path, fully fused: pool gather + device-side
+    # drift correction + table/model construction + decode in
+    # ONE dispatch per chunk
+    return _decode_chunk_pooled(
+        pool_dev["mean"], pool_dev["stdv"], pool_dev["start"],
+        idx, jnp.asarray(drifts),
+        {k: jnp.asarray(v) for k, v in bank.items()},
+        model_idx, pm_params,
+        stp.astype(np.float32), length,
+        K=cfg.kmer_size, with_path=with_path,
+    )
+
+
+def _finish_decode_chunk(sub, out, with_path: bool, cfg: Config,
+                         progress=None) -> None:
+    """Fetch one dispatched chunk's results and fill task.logp (and
+    task.path when with_path).  Runs on worker threads: relay fetch round
+    trips overlap each other and later chunks' device work (device chunks
+    complete in dispatch order, so workers drain in pipeline order)."""
+    import time as _time
+
+    from . import native
+
+    t_w0 = _time.time()
+    out = jax.device_get(out)
+    t_w1 = _time.time()
+    logps = out["logp"]
+    compact = with_path and "codes" in out
+    paths = out.get("path") if with_path else None
+    for bi, t in enumerate(sub):
+        t.logp = float(logps[bi])
+        if compact:
+            # reconstruct the state path from the compact device
+            # encoding (exact; native scalar loop, releases the GIL);
+            # an eventless task has an empty path, not [path0]
+            L = len(t.ev)
+            if L == 0:
+                t.path = np.zeros(0, np.int32)
+            else:
+                t.path = native.path_from_codes(
+                    int(out["path0"][bi]), out["codes"][bi, : L - 1],
+                    cfg.kmer_size,
+                )
+        elif with_path:
+            # copy: a view would pin the whole (B, T) chunk array
+            t.path = paths[bi, : len(t.ev)].copy()
+    if progress is not None:
+        progress.add(len(sub))
+    log.debug("decode_chunk real=%d fetch_s=%.3f host_s=%.3f",
+              len(sub), t_w1 - t_w0, _time.time() - t_w1)
+
+
 def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                  sparse_ops, is_sparse_task, with_path: bool,
                  progress=None, ev_pool=None) -> None:
@@ -827,8 +1100,6 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
                              sparse_ops, is_sparse_task, with_path,
                              progress=progress, ev_pool=ev_pool)
             return
-    import jax.numpy as jnp
-
     n = kmer.n_states(cfg.kmer_size)
     if ev_pool is None:
         ev_pool = EventPool()
@@ -842,150 +1113,27 @@ def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
     import time as _time
 
     t_pack0 = _time.time()
+    sparse_chunk = sparse_ops is not None and all(
+        is_sparse_task(t) for t in tasks
+    )
     dispatched = []
     for T, B, chunks in buckets:
         for chunk in chunks:
             sub = [tasks[i] for i in chunk]
-            Bc = B
-            length = np.zeros(Bc, np.int32)
-            drifts = np.zeros(Bc, np.float32)
-            pm_params = np.zeros((Bc, 6), np.float32)
-            pm_params[:, [0, 3, 4, 5]] = 1.0
-            model_idx = np.zeros(Bc, np.int32)
-            name_ids: dict = {}
-            stp = np.full((Bc, 2), [0.1, 0.3], np.float64)
-            for bi, t in enumerate(sub):
-                s = summaries[t.read_idx]
-                params = s.pm_params[t.key]
-                pm = models[t.model_name]
-                L = len(t.ev)
-                if L and abs(
-                    float(np.mean(t.ev.mean))
-                    - (pm.mean() * params.scale + params.shift)
-                ) > 5.0:
-                    # scaling sanity warning (nanocall.cpp:673-683)
-                    log.warning(
-                        "means_apart read [%s] strand [%d] model [%s] "
-                        "model_mean=[%g] events_mean=[%g]",
-                        s.read_id, t.strand, t.model_name,
-                        pm.mean() * params.scale + params.shift,
-                        float(np.mean(t.ev.mean)),
-                    )
-                model_idx[bi] = name_ids.setdefault(t.model_name, len(name_ids))
-                pm_params[bi] = params.as_array()
-                drifts[bi] = params.drift
-                length[bi] = L
-                sp = s.st_params[t.key][t.strand]
-                stp[bi] = [sp.p_stay, sp.p_skip]
-            # model bank: each distinct model uploads once; scaling happens
-            # on device (hmm.make_scaled_model_arrays)
-            M = max(4, len(name_ids))
-            bank = {
-                k: np.ones((M, n), np.float32)
-                for k in ("level_mean", "level_stdv", "sd_mean", "sd_lambda")
-            }
-            for name, mi in name_ids.items():
-                pm = models[name]
-                bank["level_mean"][mi] = pm.level_mean
-                bank["level_stdv"][mi] = pm.level_stdv
-                bank["sd_mean"][mi] = pm.sd_mean
-                bank["sd_lambda"][mi] = pm.sd_lambda
-            # chunk rows come from the event pool: idx selects each task's
-            # (read, strand) row; padding slots reuse row 0 (masked by
-            # length=0, exactly like the old all-ones pad row)
-            pool_dev, idx = ev_pool.bucket(sub, T)
-            idx = np.concatenate([idx, np.zeros(Bc - len(sub), np.int32)])
-            # The three dispatch branches (sparse / sharded-grouped /
-            # fused-grouped) share _pooled_ev_batch and
-            # make_scaled_model_arrays as the single point of truth for
-            # the pool-gather + drift + model assembly sequence; the fused
-            # branch stays one jitted program (compiled-shape stability is
-            # worth minutes on this backend) by tracing the same helpers.
-            # tests/test_pipeline.py::test_decode_branches_agree pins the
-            # three outputs equal on a shared workload.
-            if sparse_ops is not None and all(is_sparse_task(t) for t in sub):
-                model = hmm.make_scaled_model_arrays(bank, model_idx, pm_params)
-                ev_batch = _pooled_ev_batch(
-                    pool_dev["mean"], pool_dev["stdv"], pool_dev["start"],
-                    jnp.asarray(idx), jnp.asarray(drifts), length,
-                )
-                model, ev_batch = sharder.shard((model, ev_batch), Bc)
-                out = hmm.viterbi_decode(
-                    sparse_ops, model, ev_batch, with_path=with_path
-                )
-            elif sharder.active:
-                # multi-device: gather rows, then shard the batch over the
-                # 'data' mesh axis
-                gt = hmm.make_grouped_trans_device(
-                    stp[:, 0].astype(np.float32), stp[:, 1].astype(np.float32),
-                    K=cfg.kmer_size,
-                )
-                model = hmm.make_scaled_model_arrays(
-                    {k: jnp.asarray(v) for k, v in bank.items()},
-                    model_idx, pm_params,
-                )
-                ev_batch = _pooled_ev_batch(
-                    pool_dev["mean"], pool_dev["stdv"], pool_dev["start"],
-                    jnp.asarray(idx), jnp.asarray(drifts), length,
-                )
-                gt, model, ev_batch = sharder.shard((gt, model, ev_batch), Bc)
-                out = hmm.viterbi_decode_grouped(
-                    gt, model, ev_batch, with_path=with_path,
-                    compact_path=with_path,
-                )
-            else:
-                # grouped fast path, fully fused: pool gather + device-side
-                # drift correction + table/model construction + decode in
-                # ONE dispatch per chunk
-                out = _decode_chunk_pooled(
-                    pool_dev["mean"], pool_dev["stdv"], pool_dev["start"],
-                    idx, jnp.asarray(drifts),
-                    {k: jnp.asarray(v) for k, v in bank.items()},
-                    model_idx, pm_params,
-                    stp.astype(np.float32), length,
-                    K=cfg.kmer_size, with_path=with_path,
-                )
+            out = _dispatch_decode_chunk(
+                sub, T, B, summaries, models, cfg, sharder, sparse_ops,
+                sparse_chunk, with_path, ev_pool,
+            )
             dispatched.append((sub, out))
     t_fetch0 = _time.time()
     from concurrent.futures import ThreadPoolExecutor
 
-    from . import native
-
-    def finish_chunk(sub, out):
-        # per-chunk fetch + path reconstruction on worker threads: relay
-        # fetch round trips overlap each other and later chunks' device
-        # work (the same pattern as the headline bench; device chunks
-        # complete in dispatch order, so workers drain in pipeline order)
-        t_w0 = _time.time()
-        out = jax.device_get(out)
-        t_w1 = _time.time()
-        logps = out["logp"]
-        compact = with_path and "codes" in out
-        paths = out.get("path") if with_path else None
-        for bi, t in enumerate(sub):
-            t.logp = float(logps[bi])
-            if compact:
-                # reconstruct the state path from the compact device
-                # encoding (exact; native scalar loop, releases the GIL);
-                # an eventless task has an empty path, not [path0]
-                L = len(t.ev)
-                if L == 0:
-                    t.path = np.zeros(0, np.int32)
-                else:
-                    t.path = native.path_from_codes(
-                        int(out["path0"][bi]), out["codes"][bi, : L - 1],
-                        cfg.kmer_size,
-                    )
-            elif with_path:
-                # copy: a view would pin the whole (B, T) chunk array
-                t.path = paths[bi, : len(t.ev)].copy()
-        if progress is not None:
-            progress.add(len(sub))
-        log.debug("decode_chunk real=%d fetch_s=%.3f host_s=%.3f",
-                  len(sub), t_w1 - t_w0, _time.time() - t_w1)
-
     with ThreadPoolExecutor(4) as fpool:
-        futs = [fpool.submit(finish_chunk, sub, out) for sub, out in dispatched]
+        futs = [
+            fpool.submit(_finish_decode_chunk, sub, out, with_path, cfg,
+                         progress)
+            for sub, out in dispatched
+        ]
         for f in futs:
             f.result()
     log.debug(
@@ -1024,61 +1172,198 @@ def pick_winners(tasks, summaries) -> list:
     return winners
 
 
-def run_decode_tasks(tasks, summaries, models, cfg: Config,
-                     default_transitions=None, ev_pool=None) -> list:
-    """Execute Viterbi tasks in two passes: score-only forward over every
-    candidate (no backpointers — XLA drops them), then full decode with
-    traceback only for the winning candidate of each read/strand.
+class _DecodeDriver:
+    """Incremental decode dispatcher: accepts reads' decode tasks as their
+    training finishes, dispatches score chunks (contested candidates,
+    forward-only — XLA drops the backpointers) and path chunks (winners,
+    full traceback) whenever a length bucket fills, and drains completions
+    in dispatch order — winners path-decode as their contest's scores land
+    instead of after the whole score pass, and straggler EM (phase 2)
+    overlaps decode packing/dispatch on the device queue (the reference's
+    fully overlapped pfor flushing, nanocall.cpp:611-619,859-861, lifted
+    to the whole train->decode pipeline).
+
+    Chunk membership never affects a task's result (each task's decode is
+    independent; test_per_file_runs_concat_to_directory_run), so the
+    incremental feeding is output-identical to the staged two-pass flow.
 
     Tasks with default (untrained) transition params and a file-loaded
     custom table (--trans, nanocall.cpp:651-661) decode via the general
-    sparse kernel; everything else uses the grouped fast path.
-    Returns the winner tasks (with paths filled).
-    """
-    use_sparse_default = isinstance(default_transitions, transitions.SparseTransitions)
-    sparse_ops = (
-        hmm.make_trans_ops(default_transitions) if use_sparse_default else None
-    )
+    sparse kernel; everything else uses the grouped fast path (queues are
+    keyed by (length bucket, kind, pass))."""
 
-    def is_sparse_task(t):
-        if not use_sparse_default:
+    def __init__(self, summaries, models, cfg: Config,
+                 default_transitions=None, ev_pool=None, progress=None):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .observe import Progress
+        from .parallel.mesh import DataSharder
+
+        self.summaries = summaries
+        self.models = models
+        self.cfg = cfg
+        self.ev_pool = ev_pool if ev_pool is not None else EventPool()
+        self.use_sparse = isinstance(
+            default_transitions, transitions.SparseTransitions
+        )
+        self.sparse_ops = (
+            hmm.make_trans_ops(default_transitions) if self.use_sparse else None
+        )
+        self.sharder = DataSharder(cfg.num_shards or None)
+        self.align = self.sharder.n if self.sharder.active else 1
+        self.progress = progress or Progress("decode tasks")
+        self.n = kmer.n_states(cfg.kmer_size)
+        self.queue: dict = {}  # (T, sparse_kind, with_path) -> [tasks]
+        self.fifo: list = []  # (sub, with_path) in dispatch order
+        self.fetches: dict = {}  # fifo index -> Future
+        self.drained = 0
+        self.contests: dict = {}  # gkey -> {"left": int, "tasks": []}
+        self.winners: list = []
+        self._fpool = ThreadPoolExecutor(4)
+
+    def _is_sparse(self, t) -> bool:
+        if not self.use_sparse:
             return False
-        sp = summaries[t.read_idx].st_params[t.key][t.strand]
+        sp = self.summaries[t.read_idx].st_params[t.key][t.strand]
         return sp.is_default(
-            transitions.TransitionParams(cfg.pr_stay, cfg.pr_skip)
+            transitions.TransitionParams(self.cfg.pr_stay, self.cfg.pr_skip)
         )
 
-    from .observe import Progress
-    from .parallel.mesh import DataSharder
+    def _full_batch(self, T: int) -> int:
+        cap = batching.batch_size_for(
+            T, self.cfg.bucket_max_batch, BP_MEM_BUDGET, self.n
+        )
+        return ((cap + self.align - 1) // self.align) * self.align
 
-    sharder = DataSharder(cfg.num_shards or None)
-    progress = Progress("decode tasks")
+    def add_tasks(self, tasks) -> None:
+        """Register tasks (whole reads' worth): uncontested candidates are
+        winners outright and go straight to the path queue; contested ones
+        queue for the score pass with per-group completion counters."""
+        groups: dict = {}
+        for t in tasks:
+            s = self.summaries[t.read_idx]
+            gk = (t.read_idx,
+                  None if s.scale_strands_together else t.strand)
+            groups.setdefault(gk, []).append(t)
+        for gk, gtasks in groups.items():
+            if len({t.key for t in gtasks}) == 1:
+                self.winners.extend(gtasks)
+                self._enqueue(gtasks, with_path=True)
+            else:
+                self.contests[gk] = {"left": len(gtasks), "tasks": gtasks}
+                self._enqueue(gtasks, with_path=False)
+        self._pump()
 
-    # candidate multiplicity (distinct keys) per (read [, strand]) group
-    group_keys: dict = {}
-    for t in tasks:
-        gk = (t.read_idx, None if summaries[t.read_idx].scale_strands_together
-              else t.strand)
-        group_keys.setdefault(gk, set()).add(t.key)
+    def add_read(self, ridx: int) -> None:
+        """Build and register one trained read's decode tasks (events from
+        the pool cache — no fast5 re-read)."""
+        s = self.summaries[ridx]
+        if s.num_ed_events == 0:
+            return
+        evs = self.ev_pool.load(self.summaries, ridx, self.cfg)
+        self.add_tasks(_read_decode_tasks(ridx, s, self.cfg, evs))
 
-    def multiplicity(t):
-        gk = (t.read_idx, None if summaries[t.read_idx].scale_strands_together
-              else t.strand)
-        return len(group_keys[gk])
+    def _enqueue(self, tasks, with_path: bool) -> None:
+        for t in tasks:
+            T = batching.bucket_length(len(t.ev))
+            key = (T, self._is_sparse(t), with_path)
+            self.queue.setdefault(key, []).append(t)
 
-    if ev_pool is None:
-        ev_pool = EventPool()
-    contested = [t for t in tasks if multiplicity(t) > 1]
-    if contested:
-        _decode_pass(contested, summaries, models, cfg, sharder, sparse_ops,
-                     is_sparse_task, with_path=False, progress=progress,
-                     ev_pool=ev_pool)
-    winners = pick_winners(tasks, summaries)
-    _decode_pass(winners, summaries, models, cfg, sharder, sparse_ops,
-                 is_sparse_task, with_path=True, progress=progress,
-                 ev_pool=ev_pool)
-    progress.finish()
-    return winners
+    def _pump(self) -> None:
+        """Dispatch every queue whose length reaches a full chunk."""
+        for (T, kind, wp), q in self.queue.items():
+            B = self._full_batch(T)
+            while len(q) >= B:
+                sub = q[:B]
+                del q[:B]
+                self._dispatch(sub, T, B, kind, wp)
+
+    def _dispatch(self, sub, T, B, sparse_kind, with_path) -> None:
+        out = _dispatch_decode_chunk(
+            sub, T, B, self.summaries, self.models, self.cfg, self.sharder,
+            self.sparse_ops, sparse_kind, with_path, self.ev_pool,
+        )
+        i = len(self.fifo)
+        self.fifo.append((sub, with_path))
+        # fetch + host assembly start on a worker immediately: round trips
+        # overlap each other and later chunks' device work
+        self.fetches[i] = self._fpool.submit(
+            _finish_decode_chunk, sub, out, with_path, self.cfg,
+            self.progress,
+        )
+
+    def _flush(self, with_path: bool) -> None:
+        """Dispatch the leftover partial chunks of one pass ({8, 64, cap}
+        batch quantization, same shapes as the staged path)."""
+        for (T, kind, wp), q in list(self.queue.items()):
+            if wp is not with_path or not q:
+                continue
+            buckets = batching.make_buckets(
+                [len(t.ev) for t in q], self.cfg.bucket_max_batch,
+                BP_MEM_BUDGET, self.n, align=self.align,
+            )
+            for bT, B, chunks in buckets:
+                for chunk in chunks:
+                    self._dispatch([q[i] for i in chunk], bT, B, kind, wp)
+            q.clear()
+
+    def _on_scored(self, sub) -> None:
+        """Score results landed for these tasks: resolve any contests that
+        are now fully scored and queue their winners for path decode."""
+        done_groups = []
+        for t in sub:
+            s = self.summaries[t.read_idx]
+            gk = (t.read_idx, None if s.scale_strands_together else t.strand)
+            c = self.contests[gk]
+            c["left"] -= 1
+            if c["left"] == 0:
+                done_groups.append(gk)
+        for gk in done_groups:
+            c = self.contests.pop(gk)
+            w = pick_winners(c["tasks"], self.summaries)
+            self.winners.extend(w)
+            self._enqueue(w, with_path=True)
+        if done_groups:
+            self._pump()
+
+    def _drain(self) -> None:
+        """Process completions in dispatch order; score completions feed
+        the path queues (and may dispatch more chunks, which this loop then
+        also drains)."""
+        while self.drained < len(self.fifo):
+            i = self.drained
+            self.fetches.pop(i).result()
+            sub, wp = self.fifo[i]
+            self.fifo[i] = None  # drop refs
+            if not wp:
+                self._on_scored(sub)
+            self.drained += 1
+
+    def finish(self) -> list:
+        """Flush both passes, drain everything, and return the winner tasks
+        (paths filled) — same contract as the old two-pass flow."""
+        try:
+            self._flush(with_path=False)
+            self._drain()  # resolves all contests; dispatches path chunks
+            assert not self.contests, "unscored contest groups remain"
+            self._flush(with_path=True)
+            self._drain()
+        finally:
+            self._fpool.shutdown()
+        self.progress.finish()
+        return self.winners
+
+
+def run_decode_tasks(tasks, summaries, models, cfg: Config,
+                     default_transitions=None, ev_pool=None) -> list:
+    """Execute Viterbi tasks: score-only forward over contested candidates,
+    full decode with traceback for each winner — incrementally pipelined
+    (winner path chunks dispatch as their contest's scores land; see
+    _DecodeDriver).  Returns the winner tasks (with paths filled)."""
+    driver = _DecodeDriver(summaries, models, cfg, default_transitions,
+                           ev_pool=ev_pool)
+    driver.add_tasks(tasks)
+    return driver.finish()
 
 
 @dataclasses.dataclass

@@ -288,32 +288,36 @@ def main(argv=None) -> int:
     from .observe import StageTimer, device_trace
 
     timer = StageTimer()
-    # the decode event pool only pays off if a decode stage will consume it
-    # (--no-basecall runs must not stack + ship decode rows over the wire)
-    ev_pool = basecall.EventPool() if cfg.basecall else None
-    train_now = cfg.train and not args.resume_stats
-    # streamed path: summarize/load each read (-t worker processes) and
-    # dispatch EM chunks as buckets fill — host ingestion overlaps EM
-    # device time
-    with timer.stage("training" if train_now else "init_reads"), \
-            device_trace(args.trace_dir):
-        summaries = basecall.summarize_and_train(
-            files, models, cfg, ev_pool=ev_pool, train_enabled=train_now
-        )
-
-    if args.resume_stats:
+    if not args.resume_stats:
+        # fully pipelined ingest -> EM -> decode: host ingestion overlaps
+        # EM device time, ready reads' decode chunks dispatch behind the
+        # phase-2 straggler EM, winners path-decode as scores land
+        with device_trace(args.trace_dir):
+            summaries, results = basecall.run_pipeline(
+                files, models, cfg, default_transitions, timer=timer
+            )
+    else:
+        # resume flow: trained params load from the stats TSV between the
+        # summarize and decode stages, so the stages stay separate
+        ev_pool = basecall.EventPool() if cfg.basecall else None
+        with timer.stage("init_reads"), device_trace(args.trace_dir):
+            summaries = basecall.summarize_and_train(
+                files, models, cfg, ev_pool=ev_pool, train_enabled=False
+            )
         n = output.apply_resume(
             summaries, output.load_stats(args.resume_stats),
             transitions.TransitionParams(cfg.pr_stay, cfg.pr_skip),
         )
         log.info("resumed trained parameters for %d reads from [%s]",
                  n, args.resume_stats)
+        if cfg.basecall:
+            with timer.stage("basecalling"):
+                results = basecall.basecall_reads(
+                    summaries, models, cfg, default_transitions,
+                    ev_pool=ev_pool
+                )
 
     if cfg.basecall:
-        with timer.stage("basecalling"):
-            results = basecall.basecall_reads(
-                summaries, models, cfg, default_transitions, ev_pool=ev_pool
-            )
         if cfg.write_fast5:
             output.write_results_fast5(results, summaries, models, cfg)
         elif cfg.output:

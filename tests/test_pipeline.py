@@ -650,3 +650,51 @@ def test_decode_branches_agree(sim_dir, models):
         assert a[4] == b[4] == c[4]  # exact path equality
         assert np.isclose(a[3], b[3], rtol=1e-6)
         assert np.isclose(a[3], c[3], rtol=1e-6)
+
+
+def test_overlapped_pipeline_matches_staged(sim_dir, models):
+    """run_pipeline (fully overlapped: decode chunks dispatched behind
+    phase-2 straggler EM, winners path-decoded as scores land) must produce
+    the same trained parameters, fits, and basecalls as the staged
+    summarize + train_reads + basecall_reads flow."""
+    d, _ = sim_dir
+    files = read_pipeline.init_files([str(d)])
+
+    def snapshot(summaries, results):
+        params = {
+            (s.read_id, k): (s.pm_params[k].as_array().tolist(),
+                             round(s.fits[k], 4))
+            for s in summaries for k in s.fits
+        }
+        return params, sorted((r.seq_name, r.base_seq) for r in results)
+
+    cfg = Config(pore="r73").apply_pore_preset()
+    staged = [read_pipeline.summarize(f, models, cfg) for f in files]
+    basecall.train_reads(staged, models, cfg)
+    snap_staged = snapshot(staged, basecall.basecall_reads(staged, models, cfg))
+
+    cfg2 = Config(pore="r73").apply_pore_preset()
+    summaries, results = basecall.run_pipeline(files, models, cfg2)
+    assert [s.read_id for s in summaries] == [s.read_id for s in staged]
+    snap_over = snapshot(summaries, results)
+    assert snap_staged[0].keys() == snap_over[0].keys()
+    for k in snap_staged[0]:
+        a, b = snap_staged[0][k], snap_over[0][k]
+        assert np.allclose(a[0], b[0], rtol=0, atol=0), (k, a, b)
+        assert a[1] == b[1], (k, a, b)
+    assert snap_staged[1] == snap_over[1]
+
+
+def test_overlapped_pipeline_no_train(sim_dir, models):
+    """run_pipeline with train=False equals the staged no-train flow."""
+    d, _ = sim_dir
+    files = read_pipeline.init_files([str(d)])
+    cfg = Config(pore="r73", train=False).apply_pore_preset()
+    staged = [read_pipeline.summarize(f, models, cfg) for f in files]
+    expect = sorted(
+        (r.seq_name, r.base_seq)
+        for r in basecall.basecall_reads(staged, models, cfg)
+    )
+    cfg2 = Config(pore="r73", train=False).apply_pore_preset()
+    _, results = basecall.run_pipeline(files, models, cfg2)
+    assert sorted((r.seq_name, r.base_seq) for r in results) == expect
