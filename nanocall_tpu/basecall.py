@@ -624,12 +624,25 @@ def run_pipeline(files, models, cfg: Config, default_transitions=None,
         dec = _DecodeDriver(summaries, models, cfg, default_transitions,
                             ev_pool=ev_pool)
         if driver is not None:
-            # phase-1 fetch + phase-2 dispatch; then pack/dispatch decode
-            # work for the already-final reads while phase 2 trains
-            for ridx in driver.finish_phase1():
-                dec.add_read(ridx)
-            for ridx in driver.finish_phase2():
-                dec.add_read(ridx)
+            if cfg.overlap_decode:
+                # phase-1 fetch + phase-2 dispatch; then pack/dispatch
+                # decode work for the already-final reads while phase 2
+                # trains — with the decode FETCHES deferred until the
+                # phase-2 results are in, so the relay carries only one
+                # direction of traffic at a time (concurrent decode
+                # fetches measured slower; see Config.overlap_decode).
+                dec._defer = True
+                ready = driver.finish_phase1()
+                for ridx in ready:
+                    dec.add_read(ridx)
+                for ridx in driver.finish_phase2():
+                    dec.add_read(ridx)
+                dec.start_fetches()
+            else:
+                ready = driver.finish_phase1()
+                ready += driver.finish_phase2()
+                for ridx in sorted(ready):
+                    dec.add_read(ridx)
         else:
             for ridx in range(len(summaries)):
                 dec.add_read(ridx)
@@ -749,32 +762,43 @@ def build_decode_tasks(summaries, models, cfg, ev_pool=None) -> tuple[list, dict
 
 
 class EventPool:
-    """Per-bucket device-resident event arrays: one host-stacked (P, T)
-    upload per field per length bucket, indexed by (read_idx, strand).
+    """Per-bucket device-resident event arrays, indexed by (read_idx,
+    strand), shipped to the device INCREMENTALLY in row blocks.
 
-    Host->device bandwidth is the scarce resource (the relay moves
-    ~10 MB/s; production hosts still pay PCIe + dispatch per transfer), so
-    the pool (a) uploads each strand's events exactly ONCE, shared across
-    candidate models and the score/path decode passes, as a few large
-    arrays instead of thousands of per-task rows, (b) keeps log_stdv off
-    the wire entirely (computed on device from stdv), and (c) lets chunk
-    programs take (pool, row-index vector) arguments instead of B
-    per-row arrays — tuple-of-rows argument marshalling measured 2x
-    per-execution overhead at B=128 (tools/exp notes, PERFORMANCE.md).
+    Host->device bandwidth is the scarce resource (this env's relay moves
+    ~20 MB/s warm; production hosts still pay PCIe + dispatch per
+    transfer), so the pool (a) uploads each strand's events exactly ONCE,
+    shared across candidate models and the score/path decode passes,
+    (b) keeps log_stdv off the wire (computed on device from stdv),
+    (c) lets chunk programs take (pool, row-index vector) arguments
+    instead of B per-row arrays, and — new in round 3 — (d) DISPATCHES
+    each UPLOAD_BLOCK rows as soon as ingest fills them, so the multi-MB
+    transfers start during read ingestion instead of queuing behind it
+    (the wire, not compute, is this pipeline's floor — PERFORMANCE.md),
+    and (e) generates the pow2 batch-padding rows ON DEVICE (jnp.full)
+    instead of shipping constant padding over the wire (up to 25 MB of
+    the bench workload's ~100 MB was padding).
 
-    Built via prefetch() DURING the train stage's device wait so the
-    transfers overlap EM compute (train_reads' prefetch hook); decode
-    falls back to building it inline when there was no training stage.
+    Dispatched blocks are views of append-only arena rows (rows < uploaded
+    never mutate; numpy view refcounts keep replaced grow() buffers alive
+    until the async transfer drains), and they persist on device — a late
+    add() after finalize ships only the NEW rows and re-concatenates on
+    device, never re-uploading the pool.  The (Pq, T) pool arrays are
+    assembled by one tiny device-side concatenate whose shapes the
+    persistent compilation cache amortizes like every other program here.
 
     Also the single loader/cache of per-read decode events (load()), so
     the fast5 is re-read once per read, not once per consumer."""
 
+    UPLOAD_BLOCK = 128  # rows per incremental device_put (~4 MB/field at T=8192)
+
     def __init__(self):
         self.events: dict = {}  # read_idx -> [EventSequence x2]
         # T -> {mean/stdv/start: (cap, T) arrays, index: {(ridx, strand): row},
-        #       count, frozen}
+        #       count, uploaded}
         self._arena: dict = {}
-        self._dev: dict = {}  # T -> {field: device (Pq, T) array}
+        self._blocks: dict = {}  # T -> {field: [device block arrays]}
+        self._dev: dict = {}  # T -> {field: (Pq, T) device array, _index, _rows}
 
     def load(self, summaries, ridx, cfg):
         if ridx not in self.events:
@@ -783,7 +807,7 @@ class EventPool:
 
     @staticmethod
     def _alloc(cap: int, T: int) -> dict:
-        # padding slots pre-filled (mean/stdv 1, start 0) at allocation, so
+        # row tails pre-filled (mean/stdv 1, start 0) at allocation, so
         # add() only writes each row's real prefix
         return {
             "mean": np.ones((cap, T), np.float32),
@@ -800,27 +824,21 @@ class EventPool:
 
     def add(self, ridx, strand, ev) -> None:
         """Register a strand's events, copying the row into the host arena
-        immediately (idempotent).
+        immediately (idempotent), and dispatch a device block whenever
+        UPLOAD_BLOCK new rows have accumulated.
 
-        The copy (and the arena's growth first-touch) happens HERE, during
-        the ingest loop — overlapping fork-pool waits — because on this
-        host fresh-page touches run ~100x slow (microVM fault path) and
-        host stacking contends badly with in-flight relay transfers
-        (tools/exp_pool_stack.py: a warm 48 MB stack is 15 ms idle but 8 s
-        while a pool upload is on the wire)."""
+        The row copy (and the arena's growth first-touch) happens HERE,
+        during the ingest loop — because on this host fresh-page touches
+        run ~100x slow (microVM fault path) and host stacking contends
+        badly with in-flight relay transfers (tools/exp_pool_stack.py)."""
         T = batching.bucket_length(len(ev))
         a = self._arena.get(T)
         if a is None:
-            a = {**self._alloc(8, T), "index": {}, "count": 0, "frozen": False}
+            a = {**self._alloc(8, T), "index": {}, "count": 0, "uploaded": 0}
             self._arena[T] = a
         key = (ridx, strand)
         if key in a["index"]:
             return
-        if a["frozen"]:
-            # an upload of this arena may still be reading the buffers
-            # (device_put is async): copy-on-write before mutating
-            self._grow(a, T, a["mean"].shape[0])
-            a["frozen"] = False
         i = a["count"]
         if i >= a["mean"].shape[0]:
             self._grow(a, T, a["mean"].shape[0] * 2)
@@ -830,10 +848,54 @@ class EventPool:
         a["start"][i, :L] = ev.start
         a["index"][key] = i
         a["count"] = i + 1
+        if a["count"] - a["uploaded"] >= self.UPLOAD_BLOCK:
+            self._dispatch_rows(T, a["count"])
+
+    def _dispatch_rows(self, T: int, upto: int) -> None:
+        """device_put rows [uploaded, upto) as one block per field (async;
+        views of append-only arena rows)."""
+        import time as _time
+
+        a = self._arena[T]
+        lo = a["uploaded"]
+        if upto <= lo:
+            return
+        t0 = _time.time()
+        blocks = self._blocks.setdefault(
+            T, {"mean": [], "stdv": [], "start": []}
+        )
+        for f in ("mean", "stdv", "start"):
+            blocks[f].append(jax.device_put(a[f][lo:upto]))
+        a["uploaded"] = upto
+        self._dev.pop(T, None)  # any previous concat is stale
+        log.debug("pool_block T=%d rows=[%d,%d) dispatch_s=%.3f",
+                  T, lo, upto, _time.time() - t0)
+
+    def _finalize(self, T: int) -> None:
+        """Dispatch the tail rows and assemble the (Pq, T) device arrays
+        from the uploaded blocks plus a device-generated padding block."""
+        import jax.numpy as jnp
+
+        a = self._arena[T]
+        P = a["count"]
+        if P == 0 or (T in self._dev and self._dev[T]["_rows"] == P):
+            return
+        self._dispatch_rows(T, P)
+        Pq = max(8, 1 << (P - 1).bit_length())
+        dev = {"_index": dict(a["index"]), "_rows": P}
+        for f in ("mean", "stdv", "start"):
+            bs = list(self._blocks[T][f])
+            if Pq > P:
+                fill = 0.0 if f == "start" else 1.0
+                bs.append(jnp.full((Pq - P, a[f].shape[1]), fill, jnp.float32))
+            dev[f] = jnp.concatenate(bs, axis=0) if len(bs) > 1 else bs[0]
+        self._dev[T] = dev
+        log.debug("pool_finalize T=%d P=%d Pq=%d blocks=%d",
+                  T, P, Pq, len(self._blocks[T]["mean"]))
 
     def prefetch(self, summaries, cfg) -> None:
         """Register every decodable strand (mirrors build_decode_tasks'
-        event expansion) and start the uploads (async)."""
+        event expansion); block uploads dispatch as rows accumulate."""
         import time as _time
 
         t0 = _time.time()
@@ -850,44 +912,24 @@ class EventPool:
                   t1 - t0, _time.time() - t1)
 
     def upload_now(self) -> None:
-        """Dispatch the async device uploads (pure dispatch: the host
-        stacking already happened row-by-row in add())."""
-        import time as _time
-
-        import jax.numpy as jnp
-
-        for T, a in self._arena.items():
-            P = a["count"]
-            if P == 0 or (
-                T in self._dev and len(self._dev[T]["_index"]) == P
-            ):
-                continue  # already uploaded and complete
-            t0 = _time.time()
-            Pq = max(8, 1 << (P - 1).bit_length())
-            if Pq > a["mean"].shape[0]:
-                self._grow(a, T, Pq)
-            a["frozen"] = True
-            self._dev[T] = {
-                "mean": jnp.asarray(a["mean"][:Pq]),
-                "stdv": jnp.asarray(a["stdv"][:Pq]),
-                "start": jnp.asarray(a["start"][:Pq]),
-                "_index": dict(a["index"]),
-            }
-            log.debug("pool_upload T=%d Pq=%d dispatch_s=%.2f",
-                      T, Pq, _time.time() - t0)
+        """Dispatch any not-yet-uploaded tail rows and assemble the device
+        pool arrays (async; most rows are already on the wire from add())."""
+        for T in self._arena:
+            self._finalize(T)
 
     def bucket(self, tasks, T):
         """(pool device arrays, (B,) row indices) for a chunk's tasks;
-        uploads any rows not yet registered (inline fallback path)."""
+        uploads any rows not yet registered (inline fallback path — ships
+        only the NEW rows, reusing the already-uploaded device blocks)."""
         arena_index = self._arena.get(T, {}).get("index", {})
         missing = [
             t for t in tasks if (t.read_idx, t.strand) not in arena_index
         ]
         for t in missing:
             self.add(t.read_idx, t.strand, t.ev)
-        if missing or T not in self._dev:
-            self._dev.pop(T, None)
-            self.upload_now()
+        a = self._arena[T]
+        if T not in self._dev or self._dev[T]["_rows"] != a["count"]:
+            self._finalize(T)
         dev = self._dev[T]
         idx = np.array(
             [dev["_index"][(t.read_idx, t.strand)] for t in tasks], np.int32
@@ -1193,7 +1235,8 @@ class _DecodeDriver:
     keyed by (length bucket, kind, pass))."""
 
     def __init__(self, summaries, models, cfg: Config,
-                 default_transitions=None, ev_pool=None, progress=None):
+                 default_transitions=None, ev_pool=None, progress=None,
+                 defer_fetch: bool = False):
         from concurrent.futures import ThreadPoolExecutor
 
         from .observe import Progress
@@ -1220,6 +1263,13 @@ class _DecodeDriver:
         self.contests: dict = {}  # gkey -> {"left": int, "tasks": []}
         self.winners: list = []
         self._fpool = ThreadPoolExecutor(4)
+        # defer_fetch: dispatch chunks but hold their fetch submissions
+        # until start_fetches() — lets decode DISPATCH overlap straggler
+        # EM while keeping the relay free of decode download traffic
+        # until the EM/pool transfers drain (concurrent fetches measured
+        # slower on this serial relay; Config.overlap_decode)
+        self._defer = defer_fetch
+        self._deferred: list = []  # (i, sub, out, with_path)
 
     def _is_sparse(self, t) -> bool:
         if not self.use_sparse:
@@ -1285,12 +1335,25 @@ class _DecodeDriver:
         )
         i = len(self.fifo)
         self.fifo.append((sub, with_path))
+        if self._defer:
+            self._deferred.append((i, sub, out, with_path))
+            return
         # fetch + host assembly start on a worker immediately: round trips
         # overlap each other and later chunks' device work
         self.fetches[i] = self._fpool.submit(
             _finish_decode_chunk, sub, out, with_path, self.cfg,
             self.progress,
         )
+
+    def start_fetches(self) -> None:
+        """Submit the deferred fetches (defer_fetch mode) and stop
+        deferring for subsequent dispatches."""
+        self._defer = False
+        for i, sub, out, wp in self._deferred:
+            self.fetches[i] = self._fpool.submit(
+                _finish_decode_chunk, sub, out, wp, self.cfg, self.progress,
+            )
+        self._deferred.clear()
 
     def _flush(self, with_path: bool) -> None:
         """Dispatch the leftover partial chunks of one pass ({8, 64, cap}
@@ -1343,6 +1406,7 @@ class _DecodeDriver:
         """Flush both passes, drain everything, and return the winner tasks
         (paths filled) — same contract as the old two-pass flow."""
         try:
+            self.start_fetches()
             self._flush(with_path=False)
             self._drain()  # resolves all contests; dispatches path chunks
             assert not self.contests, "unscored contest groups remain"

@@ -69,6 +69,15 @@ class Config:
     # workload's rounds histogram (~11%% of groups exceed 8 rounds, so
     # phase 2 shrinks to one chunk: 6 -> 232 stragglers/2 chunks, 8 -> 85/1).
     em_phase1_rounds: int = 8
+    # overlap decode packing/dispatch with phase-2 straggler EM
+    # (run_pipeline), with the decode FETCHES deferred until the phase-2
+    # results land so the serial relay carries one traffic direction at a
+    # time.  Measured (tools/exp_overlap2.py, 512 reads, one window):
+    # staged 8.65-8.79s, overlap+eager-fetch 9.2-12.7s (fetch round trips
+    # contend with EM/pool transfers), overlap+deferred-fetch
+    # 8.51-8.60s — the consistent winner, so it is the default.
+    # Score->path overlap inside the decode driver is always on.
+    overlap_decode: bool = True
     # parallel
     num_shards: int = 0  # 0 = use all local devices
     # ingest worker processes (-1 = auto: cpu_count-1 capped at 6; 0/1 =

@@ -362,11 +362,13 @@ def test_ingest_pool_matches_inprocess(sim_dir, models, monkeypatch):
     assert seq == pool
 
 
-def test_event_pool_arena_growth_and_cow():
-    """EventPool arena semantics: growth past the initial capacity keeps all
-    rows intact; adding rows after an upload must not mutate buffers the
-    earlier dispatch may still be reading (copy-on-write), and the uploaded
-    device arrays must reflect exactly the rows present at dispatch time."""
+def test_event_pool_block_upload_and_growth():
+    """EventPool semantics (round-3 incremental design): growth past the
+    initial capacity keeps all rows intact; every UPLOAD_BLOCK rows a
+    device block dispatches during add(); finalize assembles (Pq, T)
+    arrays with DEVICE-generated padding (no padding bytes on the wire);
+    and a late add() after finalize ships only the new rows — previously
+    uploaded device blocks are reused, not re-shipped."""
     from nanocall_tpu import events as events_mod
 
     rng = np.random.default_rng(5)
@@ -380,6 +382,7 @@ def test_event_pool_arena_growth_and_cow():
         )
 
     pool = basecall.EventPool()
+    pool.UPLOAD_BLOCK = 8  # exercise block dispatch with a small pool
     evs = [make_ev(100 + i) for i in range(20)]  # > initial cap of 8
     for i, ev in enumerate(evs):
         pool.add(i, 0, ev)
@@ -390,29 +393,35 @@ def test_event_pool_arena_growth_and_cow():
     for i, ev in enumerate(evs):  # growth preserved every row
         assert np.array_equal(a["mean"][i, : len(ev)], ev.mean)
         assert np.allclose(a["stdv"][i, : len(ev)], ev.stdv)
+    # two full blocks dispatched during ingest, before any upload_now
+    assert a["uploaded"] == 16
+    assert len(pool._blocks[T]["mean"]) == 2
 
     pool.upload_now()
-    assert a["frozen"]
     dev0 = pool._dev[T]
-    buf0 = a["mean"]
+    assert dev0["_rows"] == 20
+    blocks0 = list(pool._blocks[T]["mean"])
     host0 = np.asarray(dev0["mean"])
+    for i, ev in enumerate(evs):
+        assert np.array_equal(host0[i, : len(ev)], ev.mean)
+    # padding rows (20 -> Pq=32) keep the deterministic fill without ever
+    # crossing the wire (device-generated)
+    assert host0.shape[0] == 32
+    assert np.all(host0[20:] == 1.0)
+    assert np.all(np.asarray(dev0["start"])[20:] == 0.0)
 
-    late = make_ev(125)  # still bucket T=128: hits the frozen arena
-    pool.add(99, 1, late)  # after upload: must copy-on-write
-    assert a["mean"] is not buf0
-    assert not a["frozen"]
-    assert np.array_equal(np.asarray(dev0["mean"]), host0)  # old upload intact
-
-    pool.upload_now()  # re-upload includes the late row
+    late = make_ev(125)  # still bucket T=128
+    pool.add(99, 1, late)
+    pool.upload_now()  # re-finalize: old blocks REUSED, only new rows ship
     dev1 = pool._dev[T]
+    assert all(
+        x is y for x, y in zip(pool._blocks[T]["mean"], blocks0)
+    ) and len(pool._blocks[T]["mean"]) > len(blocks0)
     ri = dev1["_index"][(99, 1)]
     assert np.array_equal(
         np.asarray(dev1["mean"])[ri, : len(late)], late.mean
     )
-    # padding slots keep the deterministic fill (mean/stdv 1, start 0)
-    Pq = np.asarray(dev1["mean"]).shape[0]
-    assert Pq >= 21 and np.all(np.asarray(dev1["mean"])[a["count"]:] == 1.0)
-    assert np.all(np.asarray(dev1["start"])[a["count"]:] == 0.0)
+    assert np.array_equal(np.asarray(dev0["mean"]), host0)  # old concat intact
 
 
 def test_event_pool_bucket_inline_fallback(models):
@@ -673,16 +682,18 @@ def test_overlapped_pipeline_matches_staged(sim_dir, models):
     basecall.train_reads(staged, models, cfg)
     snap_staged = snapshot(staged, basecall.basecall_reads(staged, models, cfg))
 
-    cfg2 = Config(pore="r73").apply_pore_preset()
-    summaries, results = basecall.run_pipeline(files, models, cfg2)
-    assert [s.read_id for s in summaries] == [s.read_id for s in staged]
-    snap_over = snapshot(summaries, results)
-    assert snap_staged[0].keys() == snap_over[0].keys()
-    for k in snap_staged[0]:
-        a, b = snap_staged[0][k], snap_over[0][k]
-        assert np.allclose(a[0], b[0], rtol=0, atol=0), (k, a, b)
-        assert a[1] == b[1], (k, a, b)
-    assert snap_staged[1] == snap_over[1]
+    for overlap in (False, True):
+        cfg2 = Config(pore="r73",
+                      overlap_decode=overlap).apply_pore_preset()
+        summaries, results = basecall.run_pipeline(files, models, cfg2)
+        assert [s.read_id for s in summaries] == [s.read_id for s in staged]
+        snap_over = snapshot(summaries, results)
+        assert snap_staged[0].keys() == snap_over[0].keys()
+        for k in snap_staged[0]:
+            a, b = snap_staged[0][k], snap_over[0][k]
+            assert np.allclose(a[0], b[0], rtol=0, atol=0), (k, a, b, overlap)
+            assert a[1] == b[1], (k, a, b, overlap)
+        assert snap_staged[1] == snap_over[1], overlap
 
 
 def test_overlapped_pipeline_no_train(sim_dir, models):
