@@ -40,3 +40,20 @@ def test_make_buckets_chunks_are_uniform():
         assert all(batching.bucket_length(lengths[i]) == T
                    for c in chunks for i in c)
     assert seen == set(range(len(lengths)))
+
+
+def test_long_read_bucket_math():
+    """Bucket math at the reference's 100k-event cap (nanocall.cpp:65):
+    T quantizes to the next 2048 multiple and the HBM budget caps the
+    batch at 8 rows (3.3 GiB of backpointers fits the 4 GiB budget;
+    measured on hardware — tools/exp_longread.py, PERFORMANCE.md)."""
+    from nanocall_tpu.basecall import BP_MEM_BUDGET
+
+    T = batching.bucket_length(100_000)
+    assert T == 100_352
+    B = batching.batch_size_for(T, 256, BP_MEM_BUDGET, 4096)
+    assert B == 10  # cap; make_buckets quantizes need=1 -> 8
+    (bT, bB, chunks), = batching.make_buckets([100_000], 256, BP_MEM_BUDGET,
+                                              4096)
+    assert (bT, bB) == (100_352, 8)
+    assert 8 * bT * 4096 <= BP_MEM_BUDGET

@@ -709,3 +709,29 @@ def test_overlapped_pipeline_no_train(sim_dir, models):
     cfg2 = Config(pore="r73", train=False).apply_pore_preset()
     _, results = basecall.run_pipeline(files, models, cfg2)
     assert sorted((r.seq_name, r.base_seq) for r in results) == expect
+
+
+def test_pipeline_long_read_above_8k(models, tmp_path):
+    """Whole-pipeline smoke ABOVE the 8k-event fixtures (all other
+    fixtures are <= 8k): a ~17k-event 1D read must bucket to T=18432 and
+    decode to a correct-length sequence through the real chunk path.  The
+    full 100k-event cap is exercised on hardware (tools/exp_longread.py;
+    PERFORMANCE.md) — this keeps the >8k bucket arithmetic honest in the
+    CPU suite."""
+    d = tmp_path / "long"
+    d.mkdir()
+    rng = np.random.default_rng(11)
+    truth = simulate.write_sim_fast5(
+        d / "lr.fast5", models, "r73.t.006", None, 17000, rng,
+        read_id="lr", noise_scale=0.5,
+    )
+    cfg = Config(pore="r73", train=False).apply_pore_preset()
+    files = read_pipeline.init_files([str(d)])
+    summaries, results = basecall.run_pipeline(files, models, cfg)
+    assert len(results) == 1
+    r = results[0]
+    assert len(r.path) == len(r.ev) > 16000
+    from nanocall_tpu import batching
+    assert batching.bucket_length(len(r.ev)) == 18432
+    ident = simulate.identity(r.base_seq, truth.base_seqs[0])
+    assert ident > 0.6, ident
