@@ -32,8 +32,10 @@ def _try_build(path: str) -> None:
     os.close(fd)
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-Wall",
-             "-shared", "-o", tmp, src],
+            # -ffp-contract=off: match the reference binary's non-FMA f32
+            # rounding in nc_mean_stdv_f32 (see Makefile)
+            ["g++", "-O3", "-march=native", "-ffp-contract=off", "-std=c++17",
+             "-fPIC", "-Wall", "-shared", "-o", tmp, src],
             check=True, capture_output=True, timeout=120,
         )
         os.replace(tmp, path)
@@ -135,6 +137,12 @@ def mean_stdv_f32(vals: np.ndarray) -> tuple[float, float]:
         out = np.zeros(2, np.float64)
         lib.nc_mean_stdv_f32(_dp(vals), len(vals), _dp(out))
         return float(out[0]), float(out[1])
+    return _mean_stdv_f32_numpy(vals)
+
+
+def _mean_stdv_f32_numpy(vals: np.ndarray) -> tuple[float, float]:
+    """Numpy fallback for mean_stdv_f32, bit-identical to the C++ loop
+    (pinned by tests/test_native.py)."""
     n = len(vals)
     if n == 0:
         return 0.0, 0.0

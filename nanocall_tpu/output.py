@@ -73,7 +73,13 @@ def write_stats_header(fh) -> None:
 
 
 def write_stats_row(fh, s, defaults: TransitionParams | None = None) -> None:
-    # absent strands print default-constructed params; the reference's
+    # Values print at the reference's %.5f precision (column-exact parity
+    # with its --stats writer, Fast5_Summary.hpp:460-502) — so a
+    # --resume-stats run decodes from 5-decimal-rounded params and can
+    # flip a near-tie base vs the original full-precision decode
+    # (documented in test_resume_from_stats); resume itself is
+    # deterministic.
+    # Absent strands print default-constructed params; the reference's
     # defaults TRACK the CLI --pr-stay/--pr-skip (nanocall.cpp:923-924 sets
     # the State_Transition_Parameters statics), so callers pass them in
     defaults = defaults or TransitionParams()

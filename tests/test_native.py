@@ -57,3 +57,17 @@ def test_moves_and_base_seq_match():
         seq_p = kmer.moves_to_base_seq(path, moves_p, K)
         assert np.array_equal(moves_n, moves_p)
         assert seq_n == seq_p
+
+
+@requires_native
+def test_mean_stdv_f32_matches_bitexact():
+    """The numpy cumsum fallback must reproduce the C++ f32 sequential
+    accumulation BIT-exactly: initial scale/shift (and therefore the
+    untrained FASTA byte-equality vs the reference binary) derive from
+    these moments, so a last-ulp divergence between the two paths would
+    make golden results depend on whether the .so built."""
+    rng = np.random.default_rng(7)
+    for n in (1, 9, 100, 5000, 99_999):
+        vals = rng.uniform(40, 110, n)
+        assert native.mean_stdv_f32(vals) == native._mean_stdv_f32_numpy(vals)
+    assert native.mean_stdv_f32(np.zeros(0)) == (0.0, 0.0)
