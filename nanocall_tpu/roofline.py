@@ -143,8 +143,11 @@ def measure_fma_peak(B: int, n: int, T: int, k: int = 24, n_iter: int = 4):
     np.asarray(chain(x, c, d, T, k))  # compile + warm
     t0 = time.time()
     outs = [chain(x, c, d, T, k) for _ in range(n_iter)]
-    for o in outs:
-        np.asarray(o)  # relay-safe sync (block_until_ready lies here)
+    # one fetch of the LAST output syncs the whole in-order stream
+    # (block_until_ready does not synchronize on this backend, and a
+    # per-iteration fetch would add a 2 MB relay round trip to every
+    # sample — measured 1.6x swings in the 'peak' from fetch latency)
+    np.asarray(outs[-1])
     dt = (time.time() - t0) / n_iter
     return B * n * 2 * k * T / dt, dt
 

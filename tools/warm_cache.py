@@ -145,6 +145,15 @@ def main():
         run_train(128, False)
         run_train(64, True)
         run_train(8, True)
+    # the bench's MFU roofline chain (op-count-matched FMA scan)
+    if not args.quick:
+        from nanocall_tpu import roofline
+
+        t0 = time.time()
+        k = max(8, round(
+            roofline.grouped_forward_ops_per_event(n)["total"] / (2 * n)))
+        roofline.measure_fma_peak(128, n, T=8192, k=k, n_iter=1)
+        print(f"fma chain k={k}: {time.time()-t0:.0f}s", flush=True)
     print("cache warm done")
 
 
