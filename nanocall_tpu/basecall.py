@@ -1279,10 +1279,25 @@ class _DecodeDriver:
             transitions.TransitionParams(self.cfg.pr_stay, self.cfg.pr_skip)
         )
 
-    def _full_batch(self, T: int) -> int:
-        cap = batching.batch_size_for(
-            T, self.cfg.bucket_max_batch, BP_MEM_BUDGET, self.n
-        )
+    def _full_batch(self, T: int, with_path: bool = True) -> int:
+        if with_path or not self.cfg.score_max_batch:
+            # score chunks default to the path cap: bigger score chunks
+            # measured SLOWER end-to-end (coarser granularity delays the
+            # first winners' path dispatch more than fewer fetch round
+            # trips gain; Config.score_max_batch)
+            cap = batching.batch_size_for(
+                T, self.cfg.bucket_max_batch, BP_MEM_BUDGET, self.n
+            )
+        else:
+            # score-only chunks hold no backpointers: cap by the gathered
+            # input rows + scan workspace (~60 B per (row, event)) instead
+            # of the path budget's T x n_states bytes; snap to the shape
+            # ladder so odd memory caps don't mint new compile shapes
+            cap = batching.batch_size_for(
+                T, self.cfg.score_max_batch, BP_MEM_BUDGET, 1,
+                bytes_per_cell=60,
+            )
+            cap = max(q for q in (8, 64, 256, 1024) if q <= max(cap, 8))
         return ((cap + self.align - 1) // self.align) * self.align
 
     def add_tasks(self, tasks) -> None:
@@ -1322,7 +1337,7 @@ class _DecodeDriver:
     def _pump(self) -> None:
         """Dispatch every queue whose length reaches a full chunk."""
         for (T, kind, wp), q in self.queue.items():
-            B = self._full_batch(T)
+            B = self._full_batch(T, with_path=wp)
             while len(q) >= B:
                 sub = q[:B]
                 del q[:B]
@@ -1357,14 +1372,22 @@ class _DecodeDriver:
 
     def _flush(self, with_path: bool) -> None:
         """Dispatch the leftover partial chunks of one pass ({8, 64, cap}
-        batch quantization, same shapes as the staged path)."""
+        batch quantization; score chunks use the larger no-backpointer
+        cap)."""
         for (T, kind, wp), q in list(self.queue.items()):
             if wp is not with_path or not q:
                 continue
-            buckets = batching.make_buckets(
-                [len(t.ev) for t in q], self.cfg.bucket_max_batch,
-                BP_MEM_BUDGET, self.n, align=self.align,
-            )
+            if wp or not self.cfg.score_max_batch:
+                buckets = batching.make_buckets(
+                    [len(t.ev) for t in q], self.cfg.bucket_max_batch,
+                    BP_MEM_BUDGET, self.n, align=self.align,
+                )
+            else:
+                buckets = batching.make_buckets(
+                    [len(t.ev) for t in q], self.cfg.score_max_batch,
+                    BP_MEM_BUDGET, 1, align=self.align, bytes_per_cell=60,
+                    quant=(8, 64, 256),
+                )
             for bT, B, chunks in buckets:
                 for chunk in chunks:
                     self._dispatch([q[i] for i in chunk], bT, B, kind, wp)

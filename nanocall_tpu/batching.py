@@ -36,7 +36,8 @@ def batch_size_for(T: int, max_batch: int, mem_budget_bytes: int, n_states: int,
 
 
 def make_buckets(lengths, max_batch: int, mem_budget_bytes: int, n_states: int,
-                 align: int = 1, bytes_per_cell: int = 1):
+                 align: int = 1, bytes_per_cell: int = 1,
+                 quant: tuple = (8, 64)):
     """Group task indices into (T, [chunks of indices]) buckets.
 
     Returns list of (padded_T, batch_size, [index_chunks]); every chunk has
@@ -44,7 +45,12 @@ def make_buckets(lengths, max_batch: int, mem_budget_bytes: int, n_states: int,
     `align` rounds the batch size up to a multiple (e.g. the data-parallel
     device count, so each shard gets equal work).  `bytes_per_cell` is
     forwarded to batch_size_for (1 for decode backpointers; 48 for EM
-    rows' alpha+beta+em tensors).
+    rows' alpha+beta+em tensors).  `quant` is the ladder of allowed batch
+    sizes below the cap — a tiny set of shapes: the remote-TPU compiler
+    costs minutes per shape, so shape stability beats padding waste (the
+    persistent cache then amortizes fully); callers with a large cap
+    (score-only chunks) pass extra rungs so a small tail is not padded
+    to the full cap.
     """
     groups: dict[int, list[int]] = {}
     for i, L in enumerate(lengths):
@@ -54,11 +60,8 @@ def make_buckets(lengths, max_batch: int, mem_budget_bytes: int, n_states: int,
         idxs = groups[T]
         cap = batch_size_for(T, max_batch, mem_budget_bytes, n_states,
                              bytes_per_cell)
-        # quantize the batch size to a tiny set of shapes {8, 64, cap}: the
-        # remote-TPU compiler costs minutes per shape, so shape stability
-        # beats padding waste (the persistent cache then amortizes fully)
         need = min(cap, len(idxs))
-        for q in (8, 64):
+        for q in quant:
             if need <= q <= cap:
                 B = q
                 break

@@ -58,6 +58,15 @@ class Config:
     # device batching: max padded events per decode bucket element and max
     # batch elements per bucket launch (memory control)
     bucket_max_batch: int = 256
+    # score-only (forward, no traceback) chunks keep no backpointer tensor,
+    # so their batch cap need not be HBM-bound like path chunks'.  Measured
+    # on this hardware though, BIGGER score chunks are a net LOSS (A/B at
+    # 512 reads: cap 1024 ran 9.6-9.9 s vs cap 128's 9.2-9.3 s in one
+    # window): the coarser granularity delays the first contests' winner
+    # path dispatch more than the saved fetch round trips gain, since
+    # fetches are already 4-way threaded.  0 = use the path chunks' cap
+    # (the measured best); set >0 to cap score chunks independently.
+    score_max_batch: int = 0
     # 128 groups x 4 seqs = 512 fwbw rows: the EM scan is iteration-latency
     # bound at T=128, and 512 rows run at 1.89M events/s vs 1.04M at 256
     # and 1.68M at 1024 (tools/exp_train.py sweep, PERFORMANCE.md)
