@@ -204,10 +204,13 @@ def measure_e2e(n_reads: int, n_events: int, train: bool,
         t0 = time.time()
         run_once()
         warm_s = time.time() - t0
+        n_passes = max(1, n_passes)
         passes = sorted([run_once() for _ in range(n_passes)],
                         key=lambda p: p[3])
         all_dt = sorted(round(p[3], 1) for p in passes)
-        summaries, results, t_train, dt = passes[(len(passes) - 1) // 2]
+        # len//2 is the true median for odd N; for even N it takes the
+        # SLOWER middle pass (conservative, never best-case-as-median)
+        summaries, results, t_train, dt = passes[len(passes) // 2]
         total_events = sum(s.num_ed_events for s in summaries)
     return {
         "reads_per_s": round(n_reads / dt, 2),

@@ -597,6 +597,7 @@ def run_pipeline(files, models, cfg: Config, default_transitions=None,
     ev_pool = EventPool() if cfg.basecall else None
     summaries: list = []
     driver = _EMDriver(summaries, models, cfg) if cfg.train else None
+    untrained: list = []  # decodable reads with zero training groups
     stage = timer.stage if timer is not None else (
         lambda name: contextlib.nullcontext()
     )
@@ -614,7 +615,16 @@ def run_pipeline(files, models, cfg: Config, default_transitions=None,
                     if s.scale_strands_together or len(evs[st]) >= cfg.min_ed_events:
                         ev_pool.add(ridx, st, evs[st])
             if driver is not None:
-                driver.add(_read_train_groups(ridx, s, models, cfg, evs))
+                groups = _read_train_groups(ridx, s, models, cfg, evs)
+                if groups:
+                    driver.add(groups)
+                else:
+                    # a read can be decodable yet have no training work
+                    # (e.g. joint scaling with one strand filtered below
+                    # min_ed_events -> empty candidate product): it must
+                    # still basecall from its initial params, like the
+                    # staged flow's basecall_reads over ALL summaries
+                    untrained.append(ridx)
         if ev_pool is not None:
             ev_pool.upload_now()
         if not cfg.basecall:
@@ -632,8 +642,8 @@ def run_pipeline(files, models, cfg: Config, default_transitions=None,
                 # direction of traffic at a time (concurrent decode
                 # fetches measured slower; see Config.overlap_decode).
                 dec._defer = True
-                ready = driver.finish_phase1()
-                for ridx in ready:
+                ready = driver.finish_phase1() + untrained
+                for ridx in sorted(ready):
                     dec.add_read(ridx)
                 for ridx in driver.finish_phase2():
                     dec.add_read(ridx)
@@ -641,7 +651,7 @@ def run_pipeline(files, models, cfg: Config, default_transitions=None,
             else:
                 ready = driver.finish_phase1()
                 ready += driver.finish_phase2()
-                for ridx in sorted(ready):
+                for ridx in sorted(ready + untrained):
                     dec.add_read(ridx)
         else:
             for ridx in range(len(summaries)):
@@ -684,9 +694,6 @@ def _select_read_models(s, cfg: Config) -> None:
                 )
 
 
-def _select_models(summaries, cfg: Config) -> None:
-    for s in summaries:
-        _select_read_models(s, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -839,8 +846,12 @@ class EventPool:
         key = (ridx, strand)
         if key in a["index"]:
             return
-        i = a["count"]
-        if i >= a["mean"].shape[0]:
+        # never write a row index the device may already hold: _finalize
+        # ships the tail QUANTIZED (a few prefilled padding rows), so a
+        # post-finalize add skips past those shipped rows (the skipped
+        # indices stay padding — harmless holes, masked by length)
+        i = max(a["count"], a["uploaded"])
+        while i >= a["mean"].shape[0]:
             self._grow(a, T, a["mean"].shape[0] * 2)
         L = len(ev)
         a["mean"][i, :L] = ev.mean
@@ -872,22 +883,55 @@ class EventPool:
                   T, lo, upto, _time.time() - t0)
 
     def _finalize(self, T: int) -> None:
-        """Dispatch the tail rows and assemble the (Pq, T) device arrays
-        from the uploaded blocks plus a device-generated padding block."""
+        """Assemble the (Pq, T) device arrays.
+
+        Small buckets (no block was dispatched during ingest) upload as
+        ONE device_put of the pow2-padded arena slice — zero compiled
+        programs, like the pre-block design.  Big buckets dispatch the
+        tail rows QUANTIZED to a {8,16,32,64,128}-row ladder (shipping at
+        most a few prefilled padding rows) and concatenate on device with
+        a device-generated pow2 pad block, so every concat operand shape
+        comes from a small fixed set — an arbitrary tail size would mint
+        a fresh compiled concat per distinct per-bucket row count, at
+        minutes per shape on this backend's remote-compile service."""
         import jax.numpy as jnp
 
         a = self._arena[T]
         P = a["count"]
         if P == 0 or (T in self._dev and self._dev[T]["_rows"] == P):
             return
-        self._dispatch_rows(T, P)
         Pq = max(8, 1 << (P - 1).bit_length())
         dev = {"_index": dict(a["index"]), "_rows": P}
+        if a["uploaded"] == 0:
+            # no blocks in flight: single direct upload (no concat program)
+            if Pq > a["mean"].shape[0]:
+                self._grow(a, T, Pq)
+            for f in ("mean", "stdv", "start"):
+                self._blocks.setdefault(
+                    T, {"mean": [], "stdv": [], "start": []}
+                )[f].append(jax.device_put(a[f][:Pq]))
+                dev[f] = self._blocks[T][f][-1]
+            a["uploaded"] = Pq
+            self._dev[T] = dev
+            log.debug("pool_finalize T=%d P=%d Pq=%d direct", T, P, Pq)
+            return
+        tail = P - a["uploaded"]
+        if tail > 0:
+            # quantize the tail block shape (rows beyond P are prefilled
+            # padding, so shipping them is content-identical to the
+            # device-generated pad)
+            rung = next(q for q in (8, 16, 32, 64, 128) if q >= tail)
+            upto = min(a["uploaded"] + rung, Pq)
+            while upto > a["mean"].shape[0]:
+                self._grow(a, T, a["mean"].shape[0] * 2)
+            self._dispatch_rows(T, upto)
+        dev_rows = a["uploaded"]
         for f in ("mean", "stdv", "start"):
             bs = list(self._blocks[T][f])
-            if Pq > P:
+            if Pq > dev_rows:
                 fill = 0.0 if f == "start" else 1.0
-                bs.append(jnp.full((Pq - P, a[f].shape[1]), fill, jnp.float32))
+                bs.append(jnp.full((Pq - dev_rows, a[f].shape[1]), fill,
+                                   jnp.float32))
             dev[f] = jnp.concatenate(bs, axis=0) if len(bs) > 1 else bs[0]
         self._dev[T] = dev
         log.debug("pool_finalize T=%d P=%d Pq=%d blocks=%d",

@@ -46,6 +46,12 @@ def _try_build(path: str) -> None:
             pass
 
 
+# semantics version this Python layer expects; must match preprocess.cpp's
+# nc_abi_version().  A stale auto-built .so (e.g. pre-dating the f32
+# abasic-quantile fix) would otherwise silently serve old semantics.
+ABI_VERSION = 2
+
+
 def _load():
     global _LIB
     if _LIB is not None:
@@ -61,6 +67,20 @@ def _load():
     except OSError:
         _LIB = False
         return _LIB
+    if (not hasattr(lib, "nc_abi_version")
+            or lib.nc_abi_version() != ABI_VERSION):
+        # stale build: rebuild from source and reload once
+        del lib
+        _try_build(path)
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            _LIB = False
+            return _LIB
+        if (not hasattr(lib, "nc_abi_version")
+                or lib.nc_abi_version() != ABI_VERSION):
+            _LIB = False  # unbuildable or still stale: numpy fallbacks
+            return _LIB
     c_dp = ctypes.POINTER(ctypes.c_double)
     c_i64p = ctypes.POINTER(ctypes.c_int64)
     c_i32p = ctypes.POINTER(ctypes.c_int32)

@@ -21,6 +21,14 @@
 
 extern "C" {
 
+// ABI/semantics version: bump whenever an existing entry point's BEHAVIOR
+// changes (not just when symbols are added), so a stale auto-built .so
+// from an older checkout is rebuilt instead of silently serving old
+// semantics (e.g. v2 changed nc_abasic_level from f64 to the reference's
+// f32 quantile rounding — an output-changing fix the hasattr() probes
+// used for NEW symbols cannot detect).
+int64_t nc_abi_version(void) { return 2; }
+
 // Sorted-quantile abasic level: value at index n*(1 - top_percent/100),
 // clamped to the last element, plus offset.  The quantile value and the
 // sum are rounded through float32: the reference copies event means into a

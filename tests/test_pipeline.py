@@ -764,3 +764,40 @@ def test_pipeline_long_read_above_8k(models, tmp_path):
     assert batching.bucket_length(len(r.ev)) == 18432
     ident = simulate.identity(r.base_seq, truth.base_seqs[0])
     assert ident > 0.6, ident
+
+
+def test_pipeline_keeps_reads_with_no_training_groups(models, tmp_path):
+    """A read can be decodable yet produce ZERO training groups: joint
+    (double-strand) scaling with one strand filtered below min_ed_events
+    post-filter leaves an empty candidate product in _read_train_groups,
+    but build_decode_tasks still emits both strands' tasks from the
+    initial-scaling params.  run_pipeline must basecall such reads like
+    the staged flow does (regression: the overlapped pipeline fed decode
+    only from the EM driver's ready lists and silently dropped them)."""
+    from nanocall_tpu import fast5_io
+
+    d = tmp_path / "f5"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    mean, stdv, start, length, _ = simulate.simulate_read(
+        models, "r73.t.006", "r73.c.p1.006", 600, rng, noise_scale=0.5)
+    stdv = np.asarray(stdv, float).copy()
+    # whole complement strand + trailing pad: stdv > 4 -> filtered out
+    stdv[70 + 600 + 8:] = 5.0
+    fast5_io.write_fast5(str(d / "x.fast5"), mean, stdv, start, length,
+                         sampling_rate=4000.0, read_id="x")
+    cfg = Config(pore="r73").apply_pore_preset()
+    files = read_pipeline.init_files([str(d)])
+    s = [read_pipeline.summarize(f, models, cfg) for f in files]
+    assert s[0].scale_strands_together  # strands split (bounds pre-filter)
+    evs = read_pipeline.load_events(s[0], cfg)
+    assert len(evs[1]) < cfg.min_ed_events  # complement dies in the filter
+    basecall.train_reads(s, models, cfg)
+    staged = sorted((r.seq_name, r.base_seq)
+                    for r in basecall.basecall_reads(s, models, cfg))
+    assert len(staged) == 2  # both strands basecalled (strand 1 empty-ish)
+    for overlap in (False, True):
+        cfg2 = Config(pore="r73", overlap_decode=overlap).apply_pore_preset()
+        _, results = basecall.run_pipeline(files, models, cfg2)
+        assert sorted((r.seq_name, r.base_seq) for r in results) == staged, (
+            overlap)
