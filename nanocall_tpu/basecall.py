@@ -533,12 +533,28 @@ def summarize_and_train(files, models, cfg: Config, ev_pool=None,
     Returns summaries in file order.  Identical results to
     summarize_many + train_reads (chunk membership does not affect EM
     trajectories; tested by test_pipeline.py)."""
-    from . import ingest
-
     if train_enabled is None:
         train_enabled = cfg.train
-    summaries = []
+    summaries: list = []
     driver = _EMDriver(summaries, models, cfg) if train_enabled else None
+    _stream_ingest(files, models, cfg, summaries, ev_pool, driver)
+    if driver is not None:
+        driver.finish()
+    return summaries
+
+
+def _stream_ingest(files, models, cfg: Config, summaries, ev_pool, driver,
+                   untrained=None) -> None:
+    """Shared streamed-ingest loop (summarize_and_train + run_pipeline):
+    append each read's summary, seed the event pool's per-read cache (the
+    fast5 is read exactly once per read; decodable strands register as
+    they appear, mirroring EventPool.prefetch's expansion), and feed the
+    EM driver's length buckets.  `untrained`, if given, collects reads
+    that are decodable but produced zero training groups.  Ends by
+    dispatching the pool's tail upload (most rows are already on the wire
+    from the incremental block dispatches)."""
+    from . import ingest
+
     for s, evs in ingest.ingest_stream(files, models, cfg):
         summaries.append(s)
         log.info("summary: [%s num_ed_events=%d]", s.base_file_name,
@@ -547,24 +563,23 @@ def summarize_and_train(files, models, cfg: Config, ev_pool=None,
             continue
         ridx = len(summaries) - 1
         if ev_pool is not None:
-            # seed the pool's per-read cache with the events summarize
-            # already built — the fast5 is read exactly once per read
             ev_pool.events[ridx] = evs
-            # register decodable strands as they appear (mirrors
-            # EventPool.prefetch's expansion)
             for st in (0, 1):
                 if s.scale_strands_together or len(evs[st]) >= cfg.min_ed_events:
                     ev_pool.add(ridx, st, evs[st])
         if driver is not None:
-            driver.add(_read_train_groups(ridx, s, models, cfg, evs))
+            groups = _read_train_groups(ridx, s, models, cfg, evs)
+            if groups:
+                driver.add(groups)
+            elif untrained is not None:
+                # a read can be decodable yet have no training work (e.g.
+                # joint scaling with one strand filtered below
+                # min_ed_events -> empty candidate product): it must still
+                # basecall from its initial params, like the staged flow's
+                # basecall_reads over ALL summaries
+                untrained.append(ridx)
     if ev_pool is not None:
-        # stack + dispatch the decode event pool now: the host cost is small
-        # (allocator tuned, see _tune_allocator) and the wire transfers
-        # overlap the trailing EM chunks
         ev_pool.upload_now()
-    if driver is not None:
-        driver.finish()
-    return summaries
 
 
 def run_pipeline(files, models, cfg: Config, default_transitions=None,
@@ -592,8 +607,6 @@ def run_pipeline(files, models, cfg: Config, default_transitions=None,
     overlap."""
     import contextlib
 
-    from . import ingest
-
     ev_pool = EventPool() if cfg.basecall else None
     summaries: list = []
     driver = _EMDriver(summaries, models, cfg) if cfg.train else None
@@ -602,57 +615,29 @@ def run_pipeline(files, models, cfg: Config, default_transitions=None,
         lambda name: contextlib.nullcontext()
     )
     with stage("training" if cfg.train else "init_reads"):
-        for s, evs in ingest.ingest_stream(files, models, cfg):
-            summaries.append(s)
-            log.info("summary: [%s num_ed_events=%d]", s.base_file_name,
-                     s.num_ed_events)
-            if s.num_ed_events == 0:
-                continue
-            ridx = len(summaries) - 1
-            if ev_pool is not None:
-                ev_pool.events[ridx] = evs
-                for st in (0, 1):
-                    if s.scale_strands_together or len(evs[st]) >= cfg.min_ed_events:
-                        ev_pool.add(ridx, st, evs[st])
-            if driver is not None:
-                groups = _read_train_groups(ridx, s, models, cfg, evs)
-                if groups:
-                    driver.add(groups)
-                else:
-                    # a read can be decodable yet have no training work
-                    # (e.g. joint scaling with one strand filtered below
-                    # min_ed_events -> empty candidate product): it must
-                    # still basecall from its initial params, like the
-                    # staged flow's basecall_reads over ALL summaries
-                    untrained.append(ridx)
-        if ev_pool is not None:
-            ev_pool.upload_now()
+        _stream_ingest(files, models, cfg, summaries, ev_pool, driver,
+                       untrained=untrained)
         if not cfg.basecall:
             if driver is not None:
                 driver.finish()
             return summaries, []
+        # overlap mode: decode chunks DISPATCH while phase-2 EM runs, but
+        # their FETCHES wait until the phase-2 results are in, so the
+        # relay carries only one direction of traffic at a time
+        # (concurrent decode fetches measured slower; Config.overlap_decode)
         dec = _DecodeDriver(summaries, models, cfg, default_transitions,
-                            ev_pool=ev_pool)
+                            ev_pool=ev_pool,
+                            defer_fetch=cfg.overlap_decode)
         if driver is not None:
+            ready = driver.finish_phase1() + untrained
+            if not cfg.overlap_decode:
+                ready += driver.finish_phase2()
+            for ridx in sorted(ready):
+                dec.add_read(ridx)
             if cfg.overlap_decode:
-                # phase-1 fetch + phase-2 dispatch; then pack/dispatch
-                # decode work for the already-final reads while phase 2
-                # trains — with the decode FETCHES deferred until the
-                # phase-2 results are in, so the relay carries only one
-                # direction of traffic at a time (concurrent decode
-                # fetches measured slower; see Config.overlap_decode).
-                dec._defer = True
-                ready = driver.finish_phase1() + untrained
-                for ridx in sorted(ready):
-                    dec.add_read(ridx)
                 for ridx in driver.finish_phase2():
                     dec.add_read(ridx)
                 dec.start_fetches()
-            else:
-                ready = driver.finish_phase1()
-                ready += driver.finish_phase2()
-                for ridx in sorted(ready + untrained):
-                    dec.add_read(ridx)
         else:
             for ridx in range(len(summaries)):
                 dec.add_read(ridx)
@@ -692,8 +677,6 @@ def _select_read_models(s, cfg: Config) -> None:
                     "selected_model read [%s] strand [%d] model [%s]",
                     s.read_id, st, best[st],
                 )
-
-
 
 
 # ---------------------------------------------------------------------------
