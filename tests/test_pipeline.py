@@ -801,3 +801,89 @@ def test_pipeline_keeps_reads_with_no_training_groups(models, tmp_path):
         _, results = basecall.run_pipeline(files, models, cfg2)
         assert sorted((r.seq_name, r.base_seq) for r in results) == staged, (
             overlap)
+
+
+def test_event_pool_randomized_consistency():
+    """Randomized add()/upload_now()/bucket() sequences against the pool's
+    invariants: (a) after any finalize, every indexed row on device equals
+    its event data and all non-indexed rows are the padding fill
+    (mean/stdv 1, start 0); (b) dispatched device blocks are never
+    re-shipped (identity-stable across re-finalizes); (c) every block's
+    row count comes from the quantized shape set (multiples of 8 up to
+    128, or a pow2 for the small-bucket direct upload) — the guard
+    against per-workload compile-shape churn."""
+    from nanocall_tpu import events as events_mod
+
+    rng = np.random.default_rng(17)
+
+    def make_ev(L):
+        return events_mod.EventSequence(
+            mean=rng.uniform(40, 90, L).astype(np.float32),
+            stdv=rng.uniform(0.5, 1.5, L).astype(np.float32),
+            start=np.cumsum(rng.uniform(0.01, 0.05, L)).astype(np.float32),
+            length=np.full(L, 0.02, np.float32),
+        )
+
+    pool = basecall.EventPool()
+    pool.UPLOAD_BLOCK = 16
+    evs = {}  # (ridx, strand) -> ev
+    seen_blocks = {}
+    ridx = 0
+    for step in range(60):
+        op = rng.random()
+        if op < 0.7 or not pool._arena:
+            L = int(rng.integers(50, 400))
+            ev = make_ev(L)
+            evs[(ridx, 0)] = ev
+            pool.add(ridx, 0, ev)
+            ridx += 1
+        else:
+            pool.upload_now()
+            for T, a in pool._arena.items():
+                dev = pool._dev.get(T)
+                if dev is None:
+                    continue
+                host = {f: np.asarray(dev[f])
+                        for f in ("mean", "stdv", "start")}
+                P = host["mean"].shape[0]
+                assert P == max(8, 1 << (a["count"] - 1).bit_length())
+                indexed = set(dev["_index"].values())
+                for key, ri in dev["_index"].items():
+                    e = evs[key]
+                    assert np.array_equal(host["mean"][ri, : len(e)], e.mean)
+                    assert np.array_equal(host["start"][ri, : len(e)], e.start)
+                    # row tails padded
+                    assert np.all(host["mean"][ri, len(e):] == 1.0)
+                for r in range(P):
+                    if r not in indexed:
+                        assert np.all(host["mean"][r] == 1.0)
+                        assert np.all(host["start"][r] == 0.0)
+                # block shape quantization + no re-shipping
+                blocks = pool._blocks[T]["mean"]
+                prev = seen_blocks.setdefault(T, [])
+                # identity-stable prefix (re-finalize reuses device blocks)
+                assert len(blocks) >= len(prev)
+                assert all(x is y for x, y in zip(blocks, prev))
+                seen_blocks[T] = list(blocks)
+                for b in blocks:
+                    rows = b.shape[0]
+                    assert rows % 8 == 0
+                    assert rows <= 128 or (rows & (rows - 1)) == 0, rows
+    pool.upload_now()
+    # every registered strand must be retrievable through bucket()
+    from nanocall_tpu import batching
+
+    class Task:
+        def __init__(self, key, ev):
+            self.read_idx, self.strand = key
+            self.ev = ev
+
+    by_T = {}
+    for key, ev in evs.items():
+        by_T.setdefault(batching.bucket_length(len(ev)), []).append(
+            Task(key, ev))
+    for T, tasks in by_T.items():
+        dev, idx = pool.bucket(tasks, T)
+        host = np.asarray(dev["mean"])
+        for t, ri in zip(tasks, idx):
+            assert np.array_equal(host[ri, : len(t.ev)], t.ev.mean)
