@@ -71,3 +71,23 @@ def test_mean_stdv_f32_matches_bitexact():
         vals = rng.uniform(40, 110, n)
         assert native.mean_stdv_f32(vals) == native._mean_stdv_f32_numpy(vals)
     assert native.mean_stdv_f32(np.zeros(0)) == (0.0, 0.0)
+
+
+@requires_native
+def test_mean_stdv_f32_matches_scalar_loop():
+    """The numpy fallback's cumsum relies on numpy doing a STRICT
+    sequential pass in f32 (pairwise reduction would round differently);
+    prove it against a literal scalar accumulation loop."""
+    rng = np.random.default_rng(11)
+    for n in (3, 17, 257, 1000):
+        vals = rng.uniform(40, 110, n)
+        s = np.float32(0.0)
+        s2 = np.float32(0.0)
+        for v64 in vals:
+            v = np.float32(v64)
+            s = np.float32(s + v)
+            s2 = np.float32(s2 + v * v)
+        mean = np.float32(s / np.float32(n))
+        var = np.float32(s2 / np.float32(n)) - mean * mean
+        stdv = float(np.float32(np.sqrt(var))) if var > 0 else 0.0
+        assert native._mean_stdv_f32_numpy(vals) == (float(mean), stdv)
