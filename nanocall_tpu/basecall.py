@@ -1128,15 +1128,15 @@ def _finish_decode_chunk(sub, out, with_path: bool, cfg: Config,
     for bi, t in enumerate(sub):
         t.logp = float(logps[bi])
         if compact:
-            # reconstruct the state path from the compact device
-            # encoding (exact; native scalar loop, releases the GIL);
-            # an eventless task has an empty path, not [path0]
+            # reconstruct the state path from the bit-packed compact
+            # device encoding (exact; native scalar loop, releases the
+            # GIL); an eventless task has an empty path, not [path0]
             L = len(t.ev)
             if L == 0:
                 t.path = np.zeros(0, np.int32)
             else:
-                t.path = native.path_from_codes(
-                    int(out["path0"][bi]), out["codes"][bi, : L - 1],
+                t.path = native.path_from_packed_codes(
+                    int(out["path0"][bi]), out["codes"][bi], L,
                     cfg.kmer_size,
                 )
         elif with_path:

@@ -48,8 +48,9 @@ def _try_build(path: str) -> None:
 
 # semantics version this Python layer expects; must match preprocess.cpp's
 # nc_abi_version().  A stale auto-built .so (e.g. pre-dating the f32
-# abasic-quantile fix) would otherwise silently serve old semantics.
-ABI_VERSION = 2
+# abasic-quantile fix, or the 6-bit packed traceback codes) would
+# otherwise silently serve old semantics.
+ABI_VERSION = 3
 
 
 def _load():
@@ -106,6 +107,10 @@ def _load():
     if hasattr(lib, "nc_path_from_codes"):
         lib.nc_path_from_codes.restype = None
         lib.nc_path_from_codes.argtypes = [
+            ctypes.c_int32, c_u8p, ctypes.c_int64, ctypes.c_int32, c_i32p]
+    if hasattr(lib, "nc_path_from_packed"):
+        lib.nc_path_from_packed.restype = None
+        lib.nc_path_from_packed.argtypes = [
             ctypes.c_int32, c_u8p, ctypes.c_int64, ctypes.c_int32, c_i32p]
     _LIB = lib
     return _LIB
@@ -217,6 +222,38 @@ def path_from_codes(s0: int, codes: np.ndarray, K: int) -> np.ndarray:
             s = ((s << 4) | (c & 0xF)) & mask
         path[t] = s
     return path
+
+
+def path_from_packed_codes(s0: int, packed: np.ndarray, n: int,
+                           K: int) -> np.ndarray:
+    """Reconstruct the full (n,) int32 state path from the device's
+    BIT-PACKED compact traceback encoding (ops/hmm.py
+    viterbi_traceback_grouped compact=True): four 6-bit codes per
+    little-endian 24-bit group, each code = (move << 4) | (state_t & 15).
+    `packed` must hold at least 3*ceil((n-1)/4) bytes."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    path = np.empty(n, dtype=np.int32)
+    if n == 0:
+        return path
+    lib = _load()
+    if lib and hasattr(lib, "nc_path_from_packed"):
+        lib.nc_path_from_packed(
+            int(s0), packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n, K, path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return path
+    # numpy fallback: unpack the 24-bit groups vectorized, then reuse the
+    # scalar reconstruction
+    G = -(-(n - 1) // 4)
+    if G:
+        w = (packed[0:3 * G:3].astype(np.uint32)
+             | (packed[1:3 * G:3].astype(np.uint32) << 8)
+             | (packed[2:3 * G:3].astype(np.uint32) << 16))
+        codes = ((w[:, None] >> (6 * np.arange(4, dtype=np.uint32))) & 0x3F)
+        codes = codes.reshape(-1).astype(np.uint8)[: n - 1]
+    else:
+        codes = np.zeros(0, np.uint8)
+    return path_from_codes(s0, codes, K)
 
 
 def moves_and_base_seq(path: np.ndarray, K: int):

@@ -27,7 +27,7 @@ extern "C" {
 // semantics (e.g. v2 changed nc_abasic_level from f64 to the reference's
 // f32 quantile rounding — an output-changing fix the hasattr() probes
 // used for NEW symbols cannot detect).
-int64_t nc_abi_version(void) { return 2; }
+int64_t nc_abi_version(void) { return 3; }
 
 // Sorted-quantile abasic level: value at index n*(1 - top_percent/100),
 // clamped to the last element, plus offset.  The quantile value and the
@@ -148,11 +148,10 @@ void nc_moves(const int32_t* path, int64_t n, int32_t K, int32_t* moves) {
     }
 }
 
-// Reconstruct a full state path from the device's compact traceback codes
-// (ops/hmm.py viterbi_traceback_grouped compact=True): path[0] = s0,
-// codes[t-1] = (move << 4) | (state_t & 15), move 0 = stay, 1 = step
-// (shift in 1 base), 2 = skip (shift in 2 bases).  n = path length
-// (= len(codes) + 1).
+// Reconstruct a full state path from unpacked compact traceback codes:
+// path[0] = s0, codes[t-1] = (move << 4) | (state_t & 15), move 0 = stay,
+// 1 = step (shift in 1 base), 2 = skip (shift in 2 bases).  n = path
+// length (= len(codes) + 1).
 void nc_path_from_codes(int32_t s0, const uint8_t* codes, int64_t n,
                         int32_t K, int32_t* path) {
     if (n == 0) return;
@@ -161,6 +160,33 @@ void nc_path_from_codes(int32_t s0, const uint8_t* codes, int64_t n,
     path[0] = (int32_t)s;
     for (int64_t t = 1; t < n; ++t) {
         uint8_t c = codes[t - 1];
+        int32_t move = c >> 4;
+        if (move == 1) {
+            s = ((s << 2) | (c & 0x3)) & mask;
+        } else if (move == 2) {
+            s = ((s << 4) | (c & 0xf)) & mask;
+        }
+        path[t] = (int32_t)s;
+    }
+}
+
+// Reconstruct a full state path from the device's BIT-PACKED compact
+// traceback codes (ops/hmm.py viterbi_traceback_grouped compact=True):
+// four 6-bit codes per little-endian 24-bit group — code j = t-1 lives at
+// bits [6*(j&3), 6*(j&3)+6) of packed[3*(j>>2) .. 3*(j>>2)+2].  n = path
+// length; packed must hold at least 3*ceil((n-1)/4) bytes.
+void nc_path_from_packed(int32_t s0, const uint8_t* packed, int64_t n,
+                         int32_t K, int32_t* path) {
+    if (n == 0) return;
+    uint32_t mask = (1u << (2 * K)) - 1;
+    uint32_t s = (uint32_t)s0;
+    path[0] = (int32_t)s;
+    for (int64_t t = 1; t < n; ++t) {
+        int64_t j = t - 1, g = j >> 2;
+        uint32_t w = (uint32_t)packed[3 * g]
+                     | ((uint32_t)packed[3 * g + 1] << 8)
+                     | ((uint32_t)packed[3 * g + 2] << 16);
+        uint8_t c = (w >> (6 * (j & 3))) & 0x3f;
         int32_t move = c >> 4;
         if (move == 1) {
             s = ((s << 2) | (c & 0x3)) & mask;

@@ -411,12 +411,16 @@ def viterbi_traceback_grouped(gt: GroupedTrans, final_alpha, bps, lengths,
     unrolling amortizes the per-iteration overhead.
 
     compact=False: returns (path (B, T) uint16 states, logp (B,)).
-    compact=True: returns (path0 (B,) int32, codes (B, T-1) uint8, logp) —
-    codes[t-1] = (move << 4) | (state_t & 15) with move in {0 stay, 1 step,
-    2 skip}; the full state path reconstructs losslessly from path0 by
-    shifting in the low bases per move (native.path_from_codes), at HALF
-    the device->host transfer of uint16 states.  Entries at t >= length
-    encode stay, reproducing the full path's clamped suffix exactly."""
+    compact=True: returns (path0 (B,) int32, codes (B, 3*ceil((T-1)/4))
+    uint8, logp) — each per-event code is (move << 4) | (state_t & 15)
+    with move in {0 stay, 1 step, 2 skip}, only 6 significant bits, so
+    FOUR codes are bit-packed into THREE bytes on device (little-endian
+    24-bit groups: code r of group g lives at bits [6r, 6r+6) of
+    bytes[3g:3g+3]) — 0.75 B/event on the wire vs 2 B for uint16 states.
+    The full state path reconstructs losslessly from path0 by shifting in
+    the low bases per move (native.path_from_packed_codes).  Entries at
+    t >= length encode stay, reproducing the full path's clamped suffix
+    exactly; pad codes past T-1 are zero (stay)."""
     Tm, B, n = bps.shape
     K = gt.K
     end_state = jnp.argmax(final_alpha, axis=-1).astype(jnp.int32)
@@ -442,7 +446,16 @@ def viterbi_traceback_grouped(gt: GroupedTrans, final_alpha, bps, lengths,
     s0, ys = jax.lax.scan(step, end_state, xs, reverse=True,
                           unroll=unroll)
     if compact:
-        return s0, jnp.moveaxis(ys, 0, 1), path_logp
+        # bit-pack 4 six-bit codes -> 3 bytes (elementwise; negligible vs
+        # the scans, and the result fetch is the decode path's wire cost)
+        G = -(-Tm // 4)
+        c = ys if 4 * G == Tm else jnp.pad(ys, ((0, 4 * G - Tm), (0, 0)))
+        c = c.reshape(G, 4, B).astype(jnp.int32)
+        w = c[:, 0] | (c[:, 1] << 6) | (c[:, 2] << 12) | (c[:, 3] << 18)
+        packed = jnp.stack(
+            [w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF], axis=1
+        ).astype(jnp.uint8).reshape(3 * G, B)
+        return s0, jnp.moveaxis(packed, 0, 1), path_logp
     path = jnp.concatenate([s0[None].astype(jnp.uint16), ys], axis=0)
     return jnp.moveaxis(path, 0, 1), path_logp
 
@@ -461,8 +474,9 @@ def viterbi_decode_grouped(gt: GroupedTrans, model: ModelArrays, ev: dict,
     unroll=1 (107ms vs 205ms at B=256, T=4096; PERFORMANCE.md).
 
     compact_path=True returns {path0, codes, logp} instead of the full
-    uint16 state path (see viterbi_traceback_grouped; halves the host
-    transfer, reconstruct with native.path_from_codes)."""
+    uint16 state path (see viterbi_traceback_grouped; 6-bit-packed codes
+    cut the host transfer to 0.75 B/event — reconstruct with
+    native.path_from_packed_codes)."""
     final_alpha, bps = viterbi_forward_grouped(gt, model, ev, unroll=fwd_unroll)
     if not with_path:
         return {"logp": jnp.max(final_alpha, axis=-1)}

@@ -268,8 +268,10 @@ def test_compact_path_equals_full(setup_k3):
     assert np.allclose(np.asarray(full["logp"]), np.asarray(comp["logp"]))
     p0 = np.asarray(comp["path0"])
     codes = np.asarray(comp["codes"])
+    T = np.asarray(full["path"]).shape[1]
+    assert codes.shape[1] == 3 * (-(-(T - 1) // 4))  # 6-bit packed
     for b in range(len(seqs)):
-        rec = native.path_from_codes(int(p0[b]), codes[b], K)
+        rec = native.path_from_packed_codes(int(p0[b]), codes[b], T, K)
         assert np.array_equal(rec, np.asarray(full["path"])[b].astype(np.int32))
 
 
@@ -298,7 +300,8 @@ def test_compact_path_equals_full_ties():
     batch = events.pad_batch([seq])
     full = hmm.viterbi_decode_grouped(gt, model, batch)
     comp = hmm.viterbi_decode_grouped(gt, model, batch, compact_path=True)
-    rec = native.path_from_codes(
-        int(np.asarray(comp["path0"])[0]), np.asarray(comp["codes"])[0], K
+    rec = native.path_from_packed_codes(
+        int(np.asarray(comp["path0"])[0]), np.asarray(comp["codes"])[0],
+        np.asarray(full["path"]).shape[1], K
     )
     assert np.array_equal(rec, np.asarray(full["path"])[0].astype(np.int32))

@@ -91,3 +91,59 @@ def test_mean_stdv_f32_matches_scalar_loop():
         var = np.float32(s2 / np.float32(n)) - mean * mean
         stdv = float(np.float32(np.sqrt(var))) if var > 0 else 0.0
         assert native._mean_stdv_f32_numpy(vals) == (float(mean), stdv)
+
+
+def _pack_codes(codes: np.ndarray) -> np.ndarray:
+    """Host mirror of the device 6-bit packing in
+    ops/hmm.viterbi_traceback_grouped (4 codes -> 3 little-endian bytes)."""
+    G = -(-len(codes) // 4)
+    c = np.zeros(4 * G, np.uint32)
+    c[: len(codes)] = codes
+    c = c.reshape(G, 4)
+    w = c[:, 0] | (c[:, 1] << 6) | (c[:, 2] << 12) | (c[:, 3] << 18)
+    out = np.empty((G, 3), np.uint8)
+    out[:, 0] = w & 0xFF
+    out[:, 1] = (w >> 8) & 0xFF
+    out[:, 2] = (w >> 16) & 0xFF
+    return out.reshape(-1)
+
+
+def test_path_from_packed_codes_matches_unpacked():
+    """Packed (6-bit) and unpacked compact-code reconstruction must agree
+    for every path length mod 4 and for empty/one-event paths."""
+    rng = np.random.default_rng(13)
+    K = 6
+    for n in (0, 1, 2, 4, 5, 8, 97, 1023):
+        moves = rng.integers(0, 3, size=max(n - 1, 0))
+        lows = rng.integers(0, 16, size=max(n - 1, 0))
+        codes = ((moves << 4) | lows).astype(np.uint8)
+        packed = _pack_codes(codes)
+        s0 = int(rng.integers(0, 4**K))
+        if n == 0:
+            assert native.path_from_packed_codes(s0, packed, n, K).size == 0
+            continue
+        ref = native.path_from_codes(s0, codes, K)
+        got = native.path_from_packed_codes(s0, packed, n, K)
+        assert np.array_equal(ref, got)
+
+
+@requires_native
+def test_path_from_packed_codes_fallback_matches_native():
+    """The numpy fallback unpack must agree with the C loop bit-exactly."""
+    rng = np.random.default_rng(17)
+    K = 6
+    for n in (1, 3, 6, 250, 4097):
+        codes = ((rng.integers(0, 3, n - 1) << 4)
+                 | rng.integers(0, 16, n - 1)).astype(np.uint8)
+        packed = _pack_codes(codes)
+        s0 = int(rng.integers(0, 4**K))
+        via_c = native.path_from_packed_codes(s0, packed, n, K)
+        # force the fallback by reusing its implementation path directly
+        G = -(-(n - 1) // 4)
+        w = (packed[0:3 * G:3].astype(np.uint32)
+             | (packed[1:3 * G:3].astype(np.uint32) << 8)
+             | (packed[2:3 * G:3].astype(np.uint32) << 16))
+        unpacked = ((w[:, None] >> (6 * np.arange(4, dtype=np.uint32)))
+                    & 0x3F).reshape(-1).astype(np.uint8)[: n - 1]
+        assert np.array_equal(unpacked, codes)
+        assert np.array_equal(via_c, native.path_from_codes(s0, codes, K))
