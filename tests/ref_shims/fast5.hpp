@@ -19,13 +19,16 @@
 //     n_events <N>
 //     <mean> <stdv> <start> <length>      x N   (start/length raw samples)
 //
-// Write-back methods (--write-fast5) throw; the golden tests compare FASTA
-// and stats TSV output instead.
+// Write-back methods (--write-fast5, Fast5_Summary.hpp:379-437) dump their
+// payloads as text sidecars (`<bundle>.wb.tsv`) instead of HDF5, so the
+// golden tests can compare the reference's written-back basecall groups
+// (seq / events / model / model params) against our h5py write-back.
 #ifndef __FAST5_SHIM_HPP
 #define __FAST5_SHIM_HPP
 
 #include <cstdlib>
 #include <fstream>
+#include <iomanip>
 #include <sstream>
 #include <stdexcept>
 #include <string>
@@ -180,13 +183,76 @@ public:
         return {};
     }
 
-    // write-back (Fast5_Summary.hpp:379-437): not supported by the shim
-    template < typename... Args > void add_basecall_seq(Args&&...) const { fail(); }
-    template < typename... Args > void add_basecall_events(Args&&...) const { fail(); }
-    template < typename... Args > void add_basecall_model(Args&&...) const { fail(); }
-    template < typename... Args > void add_basecall_model_params(Args&&...) const { fail(); }
+    // write-back (--write-fast5, called from Fast5_Summary.hpp:379-437 with
+    // a freshly opened File per call): instead of HDF5, append the payload
+    // to a text sidecar `<bundle>.wb.tsv` for golden comparison.  Strands
+    // of one read are written sequentially by the same pfor worker, and
+    // different reads live in different bundles, so appends never race.
+    void add_basecall_seq(unsigned st, const std::string& grp,
+                          const std::string& name, const std::string& seq,
+                          int default_qual = 33) const
+    {
+        std::ofstream ofs = wb_stream();
+        ofs << "seq\t" << st << '\t' << grp << '\t' << name << '\t'
+            << default_qual << '\t' << seq << '\n';
+    }
+    // ev: nanocall's Event_Sequence (vector of Event<Float,K>); template so
+    // the shim needs no include of the consumer's headers.  Fields dumped
+    // are the ones our HDF5 writer persists (fast5_io.basecall_event_table)
+    // EXCEPT p_model_state, which the reference never assigns along the
+    // basecall path (Viterbi.hpp:120-150 sets only model_state/move), so
+    // its value is indeterminate memory.
+    template < typename Event_Sequence >
+    void add_basecall_events(unsigned st, const std::string& grp,
+                             const Event_Sequence& ev) const
+    {
+        std::ofstream ofs = wb_stream();
+        ofs << "events\t" << st << '\t' << grp << '\t' << ev.size() << '\n'
+            << std::setprecision(9);
+        for (const auto& e : ev)
+        {
+            ofs << "ev\t" << e.mean << '\t' << e.stdv << '\t' << e.start
+                << '\t' << e.length << '\t'
+                << std::string(e.model_state.begin(), e.model_state.end())
+                << '\t' << e.move << '\n';
+        }
+    }
+    // sv: vector<Pore_Model_State<Float,K>> (Pore_Model.hpp:80-165)
+    template < typename State_Vector >
+    void add_basecall_model(unsigned st, const std::string& grp,
+                            const State_Vector& sv) const
+    {
+        std::ofstream ofs = wb_stream();
+        ofs << "model\t" << st << '\t' << grp << '\t' << sv.size() << '\n'
+            << std::setprecision(9);
+        for (const auto& s : sv)
+        {
+            ofs << "pm\t" << std::string(s.kmer.begin(), s.kmer.end())
+                << '\t' << s.level_mean << '\t' << s.level_stdv << '\t'
+                << s.sd_mean << '\t' << s.sd_stdv << '\n';
+        }
+    }
+    // params: Pore_Model_Parameters<Float> (Pore_Model.hpp:42-77)
+    template < typename Params >
+    void add_basecall_model_params(unsigned st, const std::string& grp,
+                                   const Params& p) const
+    {
+        std::ofstream ofs = wb_stream();
+        ofs << std::setprecision(9) << "params\t" << st << '\t' << grp
+            << '\t' << p.scale << '\t' << p.shift << '\t' << p.drift << '\t'
+            << p.var << '\t' << p.scale_sd << '\t' << p.var_sd << '\n';
+    }
 
 private:
+    std::ofstream wb_stream() const
+    {
+        std::ofstream ofs(_name + ".wb.tsv", std::ios::app);
+        if (not ofs)
+        {
+            throw hdf5_tools::Exception("cannot open sidecar: " + _name);
+        }
+        return ofs;
+    }
     static void fail()
     {
         throw std::logic_error(

@@ -81,6 +81,52 @@ def parse_fasta(text: str) -> dict:
             recs[name] += line.strip()
     return recs
 
+def parse_writeback(path: str) -> dict:
+    """Parse a `<bundle>.wb.tsv` sidecar written by the shimmed fast5::File's
+    add_basecall_* methods (tests/ref_shims/fast5.hpp) into
+    {strand: {"grp", "seq_name", "qual", "seq", "events", "model",
+    "params"}}; events rows are (mean, stdv, start, length, model_state,
+    move), model rows are (kmer, level_mean, level_stdv, sd_mean, sd_stdv),
+    params is the 6-float scaling vector."""
+    out: dict = {}
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    i = 0
+    while i < len(lines):
+        f = lines[i].split("\t")
+        st = int(f[1])
+        rec = out.setdefault(st, {})
+        if f[0] == "seq":
+            rec["grp"], rec["seq_name"] = f[2], f[3]
+            rec["qual"], rec["seq"] = int(f[4]), f[5]
+            i += 1
+        elif f[0] == "events":
+            n = int(f[3])
+            rows = [lines[i + 1 + j].split("\t") for j in range(n)]
+            assert all(r[0] == "ev" for r in rows)
+            rec["events"] = [
+                (float(r[1]), float(r[2]), float(r[3]), float(r[4]),
+                 r[5], int(r[6]))
+                for r in rows
+            ]
+            i += 1 + n
+        elif f[0] == "model":
+            n = int(f[3])
+            rows = [lines[i + 1 + j].split("\t") for j in range(n)]
+            assert all(r[0] == "pm" for r in rows)
+            rec["model"] = [
+                (r[1], float(r[2]), float(r[3]), float(r[4]), float(r[5]))
+                for r in rows
+            ]
+            i += 1 + n
+        elif f[0] == "params":
+            rec["params"] = [float(x) for x in f[3:9]]
+            i += 1
+        else:
+            raise ValueError(f"bad wb record: {lines[i][:80]}")
+    return out
+
+
 REF_BUILTIN = pathlib.Path("/root/reference/src/builtin_models")
 
 

@@ -368,6 +368,97 @@ def test_r9_trained_fasta(ref_nanocall, r9_datasets):
             assert float(f[hdr.index(f"n{st}_drift")]) == 0.0
 
 
+def test_write_fast5_golden(ref_nanocall, datasets, tmp_path):
+    """--write-fast5: the reference's written-back basecall groups —
+    captured as text sidecars by the shimmed fast5::File (which cannot do
+    HDF5) — must match the content our h5py write-back persists
+    (nanocall.cpp:770-776,843-849 -> Fast5_Summary.hpp:379-437):
+
+      - Fastq: identical seq name, bases, and constant-qual line;
+      - Events: identical filtered/trimmed strand slices (mean/stdv/
+        start/length float32-exact — start/length never reach FASTA in an
+        untrained run, so this is their only end-to-end check) with
+        identical per-event model_state kmers and moves;
+      - Model: the unscaled builtin table, float32-exact;
+      - model params: the initial-scaling values (float32-accumulated
+        there vs float64 here: stats-golden tolerance);
+      - group naming: both reserve Nanocall_000 on fresh files.
+
+    p_model_state is excluded: the reference never assigns it along the
+    basecall path (Viterbi.hpp:120-150), so its written value would be
+    indeterminate memory."""
+    import os
+    import shutil
+
+    import h5py
+
+    f5s, txts, d = datasets
+    rdir = tmp_path / "ref"
+    mdir = tmp_path / "mine"
+    rdir.mkdir()
+    mdir.mkdir()
+    ref_in, my_in = [], []
+    for t, f in zip(txts, f5s):
+        rb = rdir / os.path.basename(t)
+        shutil.copy(t, rb)
+        ref_in.append(str(rb))
+        mb = mdir / os.path.basename(f)
+        shutil.copy(f, mb)
+        my_in.append(str(mb))
+    flags = ["--pore", "r73", "--no-train", "--write-fast5"]
+    ref_tools.run_tool(ref_nanocall, *flags, *ref_in)
+    assert cli_main([*flags, *my_in]) == 0
+
+    n_strands = 0
+    for rb, mb in zip(ref_in, my_in):
+        wb = ref_tools.parse_writeback(rb + ".wb.tsv")
+        assert wb, f"reference wrote no basecalls for {rb}"
+        with h5py.File(mb, "r") as hf:
+            for st, rec in sorted(wb.items()):
+                strand_grp = "BaseCalled_" + ("template", "complement")[st]
+                assert rec["grp"] == "Nanocall_000"
+                g = hf[f"/Analyses/{rec['grp']}/{strand_grp}"]
+
+                name, seq, plus, quals = (
+                    g["Fastq"][()].decode().split("\n")[:4]
+                )
+                assert name == "@" + rec["seq_name"]
+                assert seq == rec["seq"]
+                assert plus == "+" and quals == chr(rec["qual"]) * len(seq)
+
+                ev = g["Events"][()]
+                assert len(ev) == len(rec["events"])
+                for col, k in (("mean", 0), ("stdv", 1), ("start", 2),
+                               ("length", 3)):
+                    mine = ev[col].astype(np.float32)
+                    ref = np.array([r[k] for r in rec["events"]], np.float32)
+                    assert (mine == ref).all(), (
+                        col, np.abs(mine - ref).max())
+                assert [s.decode() for s in ev["model_state"]] == [
+                    r[4] for r in rec["events"]
+                ]
+                assert ev["move"].tolist() == [r[5] for r in rec["events"]]
+
+                mdl = g["Model"][()]
+                assert len(mdl) == len(rec["model"]) == 4096
+                assert [k.decode() for k in mdl["kmer"]] == [
+                    r[0] for r in rec["model"]
+                ]
+                for col, k in (("level_mean", 1), ("level_stdv", 2),
+                               ("sd_mean", 3), ("sd_stdv", 4)):
+                    mine = mdl[col].astype(np.float32)
+                    ref = np.array([r[k] for r in rec["model"]], np.float32)
+                    assert (mine == ref).all(), col
+
+                attrs = [float(g.attrs[k]) for k in
+                         ("scale", "shift", "drift", "var", "scale_sd",
+                          "var_sd")]
+                assert np.allclose(attrs, rec["params"], rtol=5e-3,
+                                   atol=2e-2), (attrs, rec["params"])
+                n_strands += 1
+    assert n_strands == 4  # g1:t, g2:t+c, g3:t
+
+
 def test_single_strand_scaling_trained_fasta(ref_nanocall, datasets):
     """--single-strand-scaling trains per-strand candidates independently;
     FASTA must byte-match or stay near-identical per record.
