@@ -62,7 +62,12 @@ def main():
         ev = {"mean": rng.uniform(40, 90, (B, T)).astype(np.float32),
               "stdv": stdv, "log_stdv": np.log(stdv),
               "length": np.full(B, T, np.int32)}
-        out = hmm.viterbi_decode_grouped(gt, model, ev, with_path=with_path)
+        # compact_path tracks with_path exactly as production's dispatch
+        # (basecall.py _decode_chunk / _dispatch_decode_chunk) and the
+        # bench do — a non-compact warm would compile a program the
+        # pipeline never runs
+        out = hmm.viterbi_decode_grouped(gt, model, ev, with_path=with_path,
+                                         compact_path=with_path)
         np.asarray(out["logp"])
         print(f"decode B={B} T={T} path={with_path}: {time.time()-t0:.0f}s",
               flush=True)
