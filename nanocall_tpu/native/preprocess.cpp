@@ -152,6 +152,12 @@ void nc_moves(const int32_t* path, int64_t n, int32_t K, int32_t* moves) {
 // path[0] = s0, codes[t-1] = (move << 4) | (state_t & 15), move 0 = stay,
 // 1 = step (shift in 1 base), 2 = skip (shift in 2 bases).  n = path
 // length (= len(codes) + 1).
+// The per-step update is branchless (shift/low-bit-mask lookup tables
+// indexed by the 2-bit move): moves are data-random, so the branching
+// form mispredicts ~half the steps and measured ~2x slower at 128x8192.
+static const uint32_t nc_move_shift[4] = {0, 2, 4, 0};
+static const uint32_t nc_move_lowmask[4] = {0, 0x3, 0xf, 0};
+
 void nc_path_from_codes(int32_t s0, const uint8_t* codes, int64_t n,
                         int32_t K, int32_t* path) {
     if (n == 0) return;
@@ -159,13 +165,9 @@ void nc_path_from_codes(int32_t s0, const uint8_t* codes, int64_t n,
     uint32_t s = (uint32_t)s0;
     path[0] = (int32_t)s;
     for (int64_t t = 1; t < n; ++t) {
-        uint8_t c = codes[t - 1];
-        int32_t move = c >> 4;
-        if (move == 1) {
-            s = ((s << 2) | (c & 0x3)) & mask;
-        } else if (move == 2) {
-            s = ((s << 4) | (c & 0xf)) & mask;
-        }
+        uint32_t c = codes[t - 1];
+        uint32_t m = c >> 4;
+        s = ((s << nc_move_shift[m]) | (c & nc_move_lowmask[m])) & mask;
         path[t] = (int32_t)s;
     }
 }
@@ -181,19 +183,23 @@ void nc_path_from_packed(int32_t s0, const uint8_t* packed, int64_t n,
     uint32_t mask = (1u << (2 * K)) - 1;
     uint32_t s = (uint32_t)s0;
     path[0] = (int32_t)s;
-    for (int64_t t = 1; t < n; ++t) {
-        int64_t j = t - 1, g = j >> 2;
-        uint32_t w = (uint32_t)packed[3 * g]
-                     | ((uint32_t)packed[3 * g + 1] << 8)
-                     | ((uint32_t)packed[3 * g + 2] << 16);
-        uint8_t c = (w >> (6 * (j & 3))) & 0x3f;
-        int32_t move = c >> 4;
-        if (move == 1) {
-            s = ((s << 2) | (c & 0x3)) & mask;
-        } else if (move == 2) {
-            s = ((s << 4) | (c & 0xf)) & mask;
+    // one 24-bit word load per FOUR codes, branchless updates: the naive
+    // form (reload + variable shift + branch per code) measured ~1.5x
+    // slower than the unpacked loop; this runs at parity with it.
+    const uint8_t* p = packed;
+    int64_t t = 1;
+    while (t < n) {
+        uint32_t w = (uint32_t)p[0] | ((uint32_t)p[1] << 8)
+                     | ((uint32_t)p[2] << 16);
+        p += 3;
+        int64_t lim = t + 4 < n ? t + 4 : n;
+        for (; t < lim; ++t) {
+            uint32_t c = w & 0x3f;
+            w >>= 6;
+            uint32_t m = c >> 4;
+            s = ((s << nc_move_shift[m]) | (c & nc_move_lowmask[m])) & mask;
+            path[t] = (int32_t)s;
         }
-        path[t] = (int32_t)s;
     }
 }
 
