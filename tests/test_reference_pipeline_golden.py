@@ -368,6 +368,68 @@ def test_r9_trained_fasta(ref_nanocall, r9_datasets):
             assert float(f[hdr.index(f"n{st}_drift")]) == 0.0
 
 
+@pytest.mark.parametrize("seed", [101, 202])
+def test_fuzz_untrained_fasta_identical(ref_nanocall, tmp_path, models, seed):
+    """Randomized differential fuzz vs the reference binary: datasets the
+    fixed fixtures don't cover — near-minimum-length reads, injected
+    stdv == 0 events (the 0 -> 0.01 clamp, Event.hpp:38-41) and stdv > 4
+    events (filter_ed_event, Fast5_Summary.hpp:734-745), a non-default
+    sampling rate, an EMPTY read_id (file-name fallback naming), and a
+    randomized hairpin level.  Untrained runs are deterministic, so FASTA
+    must be byte-identical and stats numerically tight, both with strand
+    detection and under --1d."""
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    f5 = tmp_path / "fast5"
+    txt = tmp_path / "f5txt"
+    f5.mkdir()
+    txt.mkdir()
+    # short 1D read near the min-events floor, high noise
+    simulate.write_sim_fast5(
+        f5 / "fz1.fast5", models, "r73.t.006", None,
+        int(rng.integers(12, 40)), rng, read_id="fz1",
+        noise_scale=float(rng.uniform(0.8, 1.2)),
+    )
+    # 2-strand read, randomized hairpin level + noise
+    simulate.write_sim_fast5(
+        f5 / "fz2.fast5", models, "r73.t.006", "r73.c.p1.006",
+        int(rng.integers(400, 800)), rng, read_id="fz2",
+        abasic_level=float(rng.uniform(100.0, 120.0)),
+        noise_scale=float(rng.uniform(0.4, 0.9)),
+    )
+    # non-default sampling rate + EMPTY read_id (file-name naming fallback)
+    simulate.write_sim_fast5(
+        f5 / "fz3.fast5", models, "r73.t.006", None, 150, rng,
+        read_id="", sampling_rate=3012.5,
+        noise_scale=float(rng.uniform(0.9, 1.3)),
+    )
+    # inject stdv pathologies into fz1: zeros (clamped to 0.01 by BOTH
+    # sides at load) and > 4 (filtered out entirely)
+    with h5py.File(f5 / "fz1.fast5", "r+") as hf:
+        reads = hf["/Analyses/EventDetection_000/Reads"]
+        ds_path = f"{sorted(reads.keys())[0]}/Events"
+        tbl = reads[ds_path][()]
+        n = len(tbl)
+        tbl["stdv"][rng.choice(n, size=max(1, n // 10), replace=False)] = 0.0
+        tbl["stdv"][rng.choice(n, size=max(1, n // 20), replace=False)] = 5.5
+        del reads[ds_path]
+        reads.create_dataset(ds_path, data=tbl)
+    names = ["fz1.fast5", "fz2.fast5", "fz3.fast5"]
+    for nm in names:
+        ref_tools.export_f5txt(str(f5 / nm), str(txt / nm))
+    f5s = [str(f5 / nm) for nm in names]
+    txts = [str(txt / nm) for nm in names]
+
+    for tag, flags in (("fz", ["--pore", "r73", "--no-train"]),
+                       ("fz1d", ["--pore", "r73", "--no-train", "--1d"])):
+        ref_fa, ref_stats = run_ref(ref_nanocall, txts, tmp_path,
+                                    f"{tag}{seed}", *flags)
+        my_fa, my_stats = run_ours(f5s, tmp_path, f"{tag}{seed}", *flags)
+        assert ref_fa == my_fa, (tag, seed)
+        assert_stats_match(ref_stats, my_stats, float_rtol=5e-3)
+
+
 def test_write_fast5_golden(ref_nanocall, datasets, tmp_path):
     """--write-fast5: the reference's written-back basecall groups —
     captured as text sidecars by the shimmed fast5::File (which cannot do
