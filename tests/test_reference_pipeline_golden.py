@@ -368,8 +368,10 @@ def test_r9_trained_fasta(ref_nanocall, r9_datasets):
             assert float(f[hdr.index(f"n{st}_drift")]) == 0.0
 
 
-@pytest.mark.parametrize("seed", [101, 202])
-def test_fuzz_untrained_fasta_identical(ref_nanocall, tmp_path, models, seed):
+@pytest.mark.parametrize("seed,pore", [(101, "r73"), (202, "r73"),
+                                       (303, "r9")])
+def test_fuzz_untrained_fasta_identical(ref_nanocall, tmp_path, models, seed,
+                                        pore):
     """Randomized differential fuzz vs the reference binary: datasets the
     fixed fixtures don't cover — near-minimum-length reads, injected
     stdv == 0 events (the 0 -> 0.01 clamp, Event.hpp:38-41) and stdv > 4
@@ -377,9 +379,21 @@ def test_fuzz_untrained_fasta_identical(ref_nanocall, tmp_path, models, seed):
     sampling rate, an EMPTY read_id (file-name fallback naming), and a
     randomized hairpin level.  Untrained runs are deterministic, so FASTA
     must be byte-identical and stats numerically tight, both with strand
-    detection and under --1d."""
+    detection and under --1d.  The r9 case fuzzes the r9 preset chain
+    (extracted .inl model bank, abasic offset 0, window 10/5 hairpin
+    detection)."""
     import h5py
 
+    if pore == "r9":
+        models = load_builtin_models("r9")
+        tmpl, comp = "r9.t.007", "r9.c.p1.007"
+        # offset 0: the detection threshold is the raw 99th percentile of
+        # event means, so the hairpin must sit clearly above the signal
+        # tail (see r9_datasets)
+        hp_lo, hp_hi = 140.0, 160.0
+    else:
+        tmpl, comp = "r73.t.006", "r73.c.p1.006"
+        hp_lo, hp_hi = 100.0, 120.0
     rng = np.random.default_rng(seed)
     f5 = tmp_path / "fast5"
     txt = tmp_path / "f5txt"
@@ -387,20 +401,20 @@ def test_fuzz_untrained_fasta_identical(ref_nanocall, tmp_path, models, seed):
     txt.mkdir()
     # short 1D read near the min-events floor, high noise
     simulate.write_sim_fast5(
-        f5 / "fz1.fast5", models, "r73.t.006", None,
+        f5 / "fz1.fast5", models, tmpl, None,
         int(rng.integers(12, 40)), rng, read_id="fz1",
         noise_scale=float(rng.uniform(0.8, 1.2)),
     )
     # 2-strand read, randomized hairpin level + noise
     simulate.write_sim_fast5(
-        f5 / "fz2.fast5", models, "r73.t.006", "r73.c.p1.006",
+        f5 / "fz2.fast5", models, tmpl, comp,
         int(rng.integers(400, 800)), rng, read_id="fz2",
-        abasic_level=float(rng.uniform(100.0, 120.0)),
+        abasic_level=float(rng.uniform(hp_lo, hp_hi)),
         noise_scale=float(rng.uniform(0.4, 0.9)),
     )
     # non-default sampling rate + EMPTY read_id (file-name naming fallback)
     simulate.write_sim_fast5(
-        f5 / "fz3.fast5", models, "r73.t.006", None, 150, rng,
+        f5 / "fz3.fast5", models, tmpl, None, 150, rng,
         read_id="", sampling_rate=3012.5,
         noise_scale=float(rng.uniform(0.9, 1.3)),
     )
@@ -421,8 +435,8 @@ def test_fuzz_untrained_fasta_identical(ref_nanocall, tmp_path, models, seed):
     f5s = [str(f5 / nm) for nm in names]
     txts = [str(txt / nm) for nm in names]
 
-    for tag, flags in (("fz", ["--pore", "r73", "--no-train"]),
-                       ("fz1d", ["--pore", "r73", "--no-train", "--1d"])):
+    for tag, flags in (("fz", ["--pore", pore, "--no-train"]),
+                       ("fz1d", ["--pore", pore, "--no-train", "--1d"])):
         ref_fa, ref_stats = run_ref(ref_nanocall, txts, tmp_path,
                                     f"{tag}{seed}", *flags)
         my_fa, my_stats = run_ours(f5s, tmp_path, f"{tag}{seed}", *flags)
