@@ -27,14 +27,15 @@ COPY baseline ./baseline
 COPY tools ./tools
 
 # native host runtime + CPU baseline binary; the prebuilt .so rides inside
-# the wheel so the slim stage needs no compiler
-RUN make -C nanocall_tpu/native \
-    && g++ -O3 -march=native -std=c++17 -pthread \
+# the wheel so the slim stage needs no compiler.  MARCH=x86-64-v2: a
+# DISTRIBUTED binary must not inherit the build host's ISA (-march=native
+# would SIGILL on older CPUs); source installs still auto-build natively.
+RUN make -C nanocall_tpu/native MARCH=x86-64-v2 \
+    && g++ -O3 -std=c++17 -pthread \
          -o baseline/cpu_nanocall baseline/cpu_nanocall.cpp \
     && pip install --no-cache-dir build \
-    && python -m build --wheel --outdir /dist
-
-RUN pip install --no-cache-dir .
+    && python -m build --wheel --outdir /dist \
+    && pip install --no-cache-dir /dist/*.whl
 
 ENTRYPOINT ["nanocall-tpu"]
 CMD ["--version"]
@@ -64,3 +65,8 @@ VOLUME ["/data"]
 WORKDIR /data
 ENTRYPOINT ["nanocall-tpu"]
 CMD ["--version"]
+
+# Last stage = default `docker build` target: the fat image, matching the
+# header doc (multi-stage builds default to the FINAL stage, so without
+# this alias a plain `docker build` would silently produce the slim image).
+FROM build AS fat

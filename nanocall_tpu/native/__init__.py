@@ -28,7 +28,13 @@ def _try_build(path: str) -> None:
     src = os.path.join(_HERE, "preprocess.cpp")
     if not os.path.exists(src):
         return
-    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
+    try:
+        # inside the try: a read-only install dir (e.g. root-owned
+        # site-packages holding a stale-ABI wheel .so) must fall back
+        # silently, not raise from mkstemp
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
+    except OSError:
+        return
     os.close(fd)
     try:
         subprocess.run(

@@ -153,10 +153,14 @@ void nc_moves(const int32_t* path, int64_t n, int32_t K, int32_t* moves) {
 // 1 = step (shift in 1 base), 2 = skip (shift in 2 bases).  n = path
 // length (= len(codes) + 1).
 // The per-step update is branchless (shift/low-bit-mask lookup tables
-// indexed by the 2-bit move): moves are data-random, so the branching
+// indexed by the move nibble): moves are data-random, so the branching
 // form mispredicts ~half the steps and measured ~2x slower at 128x8192.
-static const uint32_t nc_move_shift[4] = {0, 2, 4, 0};
-static const uint32_t nc_move_lowmask[4] = {0, 0x3, 0xf, 0};
+// 16 entries so ANY uint8 code indexes in bounds; nibbles other than
+// 1 (step) and 2 (skip) decode as stay, like the old branching form.
+static const uint32_t nc_move_shift[16] = {0, 2, 4, 0, 0, 0, 0, 0,
+                                           0, 0, 0, 0, 0, 0, 0, 0};
+static const uint32_t nc_move_lowmask[16] = {0, 0x3, 0xf, 0, 0, 0, 0, 0,
+                                             0, 0, 0, 0, 0, 0, 0, 0};
 
 void nc_path_from_codes(int32_t s0, const uint8_t* codes, int64_t n,
                         int32_t K, int32_t* path) {

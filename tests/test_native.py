@@ -128,22 +128,47 @@ def test_path_from_packed_codes_matches_unpacked():
 
 
 @requires_native
-def test_path_from_packed_codes_fallback_matches_native():
-    """The numpy fallback unpack must agree with the C loop bit-exactly."""
+def test_path_from_codes_out_of_range_moves_are_stay(monkeypatch):
+    """Arbitrary uint8 codes must be total: any move nibble other than
+    1 (step) / 2 (skip) decodes as stay, identically in the C loop (16-entry
+    lookup tables — a 4-entry table would read out of bounds on corrupted
+    codes) and the numpy fallback."""
+    rng = np.random.default_rng(23)
+    K = 6
+    codes = rng.integers(0, 256, 500).astype(np.uint8)  # moves 0..15
+    s0 = int(rng.integers(0, 4**K))
+    via_c = native.path_from_codes(s0, codes, K)
+    monkeypatch.setattr(native, "_LIB", False)
+    via_py = native.path_from_codes(s0, codes, K)
+    assert np.array_equal(via_c, via_py)
+    # a pure garbage-move path (no 1/2 nibbles) must stay at s0 throughout
+    stay_codes = ((rng.integers(3, 16, 100) << 4)
+                  | rng.integers(0, 16, 100)).astype(np.uint8)
+    monkeypatch.undo()
+    assert (native.path_from_codes(s0, stay_codes, K) == s0).all()
+
+
+@requires_native
+def test_path_from_packed_codes_fallback_matches_native(monkeypatch):
+    """The REAL numpy fallback branch (native._LIB forced off) must agree
+    with the C loop bit-exactly — the fallback is what .so-less installs
+    actually run, so it must be the code under test, not a local copy."""
     rng = np.random.default_rng(17)
     K = 6
+    cases = []
     for n in (1, 3, 6, 250, 4097):
         codes = ((rng.integers(0, 3, n - 1) << 4)
                  | rng.integers(0, 16, n - 1)).astype(np.uint8)
-        packed = _pack_codes(codes)
-        s0 = int(rng.integers(0, 4**K))
-        via_c = native.path_from_packed_codes(s0, packed, n, K)
-        # force the fallback by reusing its implementation path directly
-        G = -(-(n - 1) // 4)
-        w = (packed[0:3 * G:3].astype(np.uint32)
-             | (packed[1:3 * G:3].astype(np.uint32) << 8)
-             | (packed[2:3 * G:3].astype(np.uint32) << 16))
-        unpacked = ((w[:, None] >> (6 * np.arange(4, dtype=np.uint32)))
-                    & 0x3F).reshape(-1).astype(np.uint8)[: n - 1]
-        assert np.array_equal(unpacked, codes)
-        assert np.array_equal(via_c, native.path_from_codes(s0, codes, K))
+        cases.append((n, codes, _pack_codes(codes),
+                      int(rng.integers(0, 4**K))))
+    via_c = [
+        (native.path_from_packed_codes(s0, packed, n, K),
+         native.path_from_codes(s0, codes, K))
+        for n, codes, packed, s0 in cases
+    ]
+    monkeypatch.setattr(native, "_LIB", False)  # numpy fallbacks in charge
+    for (n, codes, packed, s0), (c_packed, c_unpacked) in zip(cases, via_c):
+        assert np.array_equal(
+            native.path_from_packed_codes(s0, packed, n, K), c_packed)
+        assert np.array_equal(native.path_from_codes(s0, codes, K),
+                              c_unpacked)
