@@ -11,8 +11,6 @@ import argparse
 import logging
 import sys
 
-import numpy as np
-
 from . import basecall, output, pore_model, read_pipeline, transitions
 from .config import Config
 from .models import load_builtin_models
@@ -174,6 +172,11 @@ def init_models(cfg: Config) -> dict:
         for st in (0, 1, 2):
             for path in by_strand[st]:
                 pm = pore_model.load_tsv(path, K=cfg.kmer_size, strand=st, name=path)
+                # keyed by file path, later strands overwriting earlier —
+                # REFERENCE PARITY (nanocall.cpp:137-152 keys its dict by
+                # the path string the same way), so `-m 0:x -m 1:x` keeps
+                # only the strand-1 entry there too; use strand 2 or two
+                # files for a shared model
                 models[path] = pm
                 log.info("loaded model [%s] for strand [%d] statistics "
                          "[mean=%g, stdv=%g]", path, st, pm.mean(), pm.stdv())
@@ -256,6 +259,12 @@ def main(argv=None) -> int:
     enable_compilation_cache()
     multi = args.num_hosts > 1
     if multi and args.coordinator:
+        # fork the ingest pool BEFORE jax.distributed spawns its gRPC
+        # client threads: forking a multithreaded process is fork-unsafe
+        # (a worker could inherit a lock held mid-operation and wedge)
+        from . import ingest
+
+        ingest.ensure_pool(cfg.ingest_workers)
         multihost.init_distributed(args.coordinator, args.num_hosts, args.host_id)
 
     models = init_models(cfg)
@@ -265,6 +274,11 @@ def main(argv=None) -> int:
         raise SystemExit("no fast5 files to process")
     if multi:
         files = multihost.partition_files(files, args.host_id, args.num_hosts)
+        # clear this host's stale shard BEFORE any work: the merge treats
+        # shard existence as completeness, so a leftover from a previous
+        # failed run must not satisfy it
+        multihost.remove_stale_shard(args.output or "out.fa", args.host_id,
+                                     args.num_hosts)
         cfg.output = multihost.shard_output_path(
             args.output or "out.fa", args.host_id, args.num_hosts
         )
@@ -298,24 +312,27 @@ def main(argv=None) -> int:
             )
     else:
         # resume flow: trained params load from the stats TSV between the
-        # summarize and decode stages, so the stages stay separate
+        # summarize and decode stages, so the stages stay separate — but
+        # --trace-dir must span BOTH stages (a trace that stops before
+        # decode would silently omit the very work being profiled)
         ev_pool = basecall.EventPool() if cfg.basecall else None
-        with timer.stage("init_reads"), device_trace(args.trace_dir):
-            summaries = basecall.summarize_and_train(
-                files, models, cfg, ev_pool=ev_pool, train_enabled=False
-            )
-        n = output.apply_resume(
-            summaries, output.load_stats(args.resume_stats),
-            transitions.TransitionParams(cfg.pr_stay, cfg.pr_skip),
-        )
-        log.info("resumed trained parameters for %d reads from [%s]",
-                 n, args.resume_stats)
-        if cfg.basecall:
-            with timer.stage("basecalling"):
-                results = basecall.basecall_reads(
-                    summaries, models, cfg, default_transitions,
-                    ev_pool=ev_pool
+        with device_trace(args.trace_dir):
+            with timer.stage("init_reads"):
+                summaries = basecall.summarize_and_train(
+                    files, models, cfg, ev_pool=ev_pool, train_enabled=False
                 )
+            n = output.apply_resume(
+                summaries, output.load_stats(args.resume_stats),
+                transitions.TransitionParams(cfg.pr_stay, cfg.pr_skip),
+            )
+            log.info("resumed trained parameters for %d reads from [%s]",
+                     n, args.resume_stats)
+            if cfg.basecall:
+                with timer.stage("basecalling"):
+                    results = basecall.basecall_reads(
+                        summaries, models, cfg, default_transitions,
+                        ev_pool=ev_pool
+                    )
 
     if cfg.basecall:
         if cfg.write_fast5:

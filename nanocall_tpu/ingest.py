@@ -10,9 +10,12 @@ processes do.
 
 Workers are jax-free: read_pipeline/fast5_io import only numpy + h5py, and
 the pool is created on first use, which in every flow precedes the first
-device dispatch, so the fork carries no live TPU-client threads.  Results
-stream back in file order so the EM dispatcher can consume them as they
-arrive (device chunks overlap later files' ingest).
+device dispatch, so the fork carries no live TPU-client threads.  The one
+exception is coordinator'd multi-host runs, where
+jax.distributed.initialize spawns gRPC client threads up front — the CLI
+calls ensure_pool() BEFORE it so the fork still happens single-threaded.
+Results stream back in file order so the EM dispatcher can consume them
+as they arrive (device chunks overlap later files' ingest).
 
 This is the TPU-native stand-in for the reference's thread-pool ingest
 overlap (pfor in train_reads, nanocall.cpp:282-290): there, per-read
@@ -65,6 +68,36 @@ def _get_executor(workers: int):
     return _executor
 
 
+def _discard_executor() -> None:
+    """Drop a failed pool so the NEXT ingest_stream rebuilds it instead of
+    getting the same broken executor back from the cache (a
+    BrokenProcessPool raises on every later submit — without this, one
+    OOM-killed worker would degrade every subsequent call in the process
+    to serial ingestion)."""
+    global _executor, _executor_workers
+    if _executor is not None:
+        _executor.shutdown(wait=False, cancel_futures=True)
+    _executor = None
+    _executor_workers = 0
+
+
+def ensure_pool(workers: int = -1) -> None:
+    """Pre-create the fork pool while the process is still single-threaded.
+
+    Call BEFORE anything that spawns background threads (in particular
+    jax.distributed.initialize's gRPC client threads — forking after
+    those start is fork-unsafe).  The normal single-host flows need no
+    explicit call: their first pool use precedes the first device
+    dispatch anyway."""
+    workers = _resolve_workers(workers)
+    if workers > 1:
+        try:
+            _get_executor(workers)
+        except Exception as e:  # pool is an optimization, never fatal
+            log.warning("ingest pool pre-create failed (%s)", e)
+            _discard_executor()
+
+
 def _worker_chunk(paths, models, cfg):
     return [
         read_pipeline.summarize(p, models, cfg, return_events=True)
@@ -101,6 +134,7 @@ def ingest_stream(files, models, cfg):
             next_ci += 1
     except Exception as e:
         log.warning("ingest pool unavailable (%s); ingesting in-process", e)
+        _discard_executor()
         futs.clear()
         next_ci = len(chunks)
     while futs:
@@ -114,6 +148,7 @@ def ingest_stream(files, models, cfg):
             )
             for f2 in futs:
                 f2.cancel()
+            _discard_executor()
             futs.clear()
             break
         del fut  # release the Future's result reference promptly
@@ -127,6 +162,7 @@ def ingest_stream(files, models, cfg):
             log.warning(
                 "ingest submit failed (%s); finishing in-process", e
             )
+            _discard_executor()
             next_ci = len(chunks)
         for r in results:
             done += 1

@@ -47,7 +47,12 @@ def write_results_fast5(results, summaries, models, cfg) -> None:
                 f.add_basecall_events(r.strand, s.bc_grp, table)
                 f.add_basecall_model(r.strand, s.bc_grp, fast5_io.model_table(pm))
                 f.add_basecall_model_params(r.strand, s.bc_grp, params)
-        except OSError as e:
+        except Exception as e:
+            # broad on purpose: h5py surfaces corrupt/locked files as
+            # KeyError/ValueError/RuntimeError as well as OSError, and ONE
+            # bad file must not abort the run and discard every remaining
+            # read's write-back (the reference wraps each write in a
+            # catch-all the same way, Fast5_Summary.hpp:379-437)
             log.warning(
                 "error writing basecalls for read [%s] to [%s]: %s",
                 r.seq_name, s.file_name, e,

@@ -46,6 +46,24 @@ def shard_output_path(output: str, process_id: int, num_processes: int) -> str:
     return f"{base}.shard{process_id:04d}"
 
 
+def remove_stale_shard(output: str, process_id: int,
+                       num_processes: int) -> None:
+    """Unlink this host's shard path at run START.
+
+    The coordinator-less merge treats shard EXISTENCE as completeness, so
+    a shard left by a previous failed run must not be mistakable for this
+    run's output: each host clears its own target before doing any work
+    (a host that crashes mid-run then leaves no shard, and the merge
+    fails loudly instead of silently concatenating stale basecalls).
+    A host that never launches at all still leaves its old shard behind —
+    use --coordinator (barrier'd runs) when that matters."""
+    path = shard_output_path(output, process_id, num_processes)
+    try:
+        os.remove(path)
+    except FileNotFoundError:
+        pass
+
+
 def merge_shards(output: str, num_processes: int, cleanup: bool = True) -> None:
     """Concatenate shard FASTAs into the final output (host 0 only).
 
@@ -64,12 +82,20 @@ def merge_shards(output: str, num_processes: int, cleanup: bool = True) -> None:
         )
     import shutil
 
-    with open(output, "wb") as out:
+    # write-then-rename, shards deleted only AFTER the rename: an IO
+    # failure mid-merge (disk full, transient NFS error) must neither
+    # destroy shards that were already copied nor leave a truncated file
+    # under the final name (the same exists-means-complete contract the
+    # per-shard writers keep, cli.py write-then-rename)
+    tmp = output + ".tmp"
+    with open(tmp, "wb") as out:
         for shard in shards:
             with open(shard, "rb") as fh:
                 shutil.copyfileobj(fh, out)  # constant memory per shard
-            if cleanup:
-                os.remove(shard)
+    os.replace(tmp, output)
+    if cleanup:
+        for shard in shards:
+            os.remove(shard)
 
 
 def barrier(name: str = "nanocall") -> None:

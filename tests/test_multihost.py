@@ -130,6 +130,54 @@ def test_merge_missing_shard_raises(tmp_path):
     assert not out.exists() or open(p0).read()  # shard 0 not consumed
 
 
+def test_merge_is_atomic_and_preserves_shards_on_failure(tmp_path,
+                                                         monkeypatch):
+    """An IO failure mid-merge must neither destroy already-copied shards
+    nor leave a partial file under the final name (write-then-rename;
+    shards removed only after the rename)."""
+    import shutil
+
+    out = str(tmp_path / "out.fa")
+    for pid in range(2):
+        open(multihost.shard_output_path(out, pid, 2), "w").write(
+            f">r{pid}\nACGT\n")
+
+    calls = {"n": 0}
+    real = shutil.copyfileobj
+
+    def failing_copy(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("disk full")
+        return real(src, dst)
+
+    monkeypatch.setattr(shutil, "copyfileobj", failing_copy)
+    with pytest.raises(OSError):
+        multihost.merge_shards(out, 2)
+    import os
+
+    # no plausible-looking partial output; every shard intact -> re-merge OK
+    assert not os.path.exists(out)
+    monkeypatch.undo()
+    multihost.merge_shards(out, 2)
+    assert open(out).read() == ">r0\nACGT\n>r1\nACGT\n"
+    assert not os.path.exists(out + ".tmp")
+
+
+def test_remove_stale_shard(tmp_path):
+    """Each host clears its own shard at run start, so a leftover from a
+    previous failed run cannot satisfy the merge's existence-means-
+    complete check if this run crashes before writing."""
+    out = str(tmp_path / "out.fa")
+    p1 = multihost.shard_output_path(out, 1, 2)
+    open(p1, "w").write(">stale\nAAAA\n")
+    multihost.remove_stale_shard(out, 1, 2)
+    import os
+
+    assert not os.path.exists(p1)
+    multihost.remove_stale_shard(out, 1, 2)  # idempotent on absence
+
+
 def test_multihost_no_basecall_does_not_merge(tmp_path):
     """A training-only multi-host run writes no FASTA shards; host 0 must
     not attempt (and fail) the shard merge after a successful run."""
