@@ -67,7 +67,13 @@ def make_buckets(lengths, max_batch: int, mem_budget_bytes: int, n_states: int,
                 break
         else:
             B = cap
-        B = ((B + align - 1) // align) * align
+        if align > 1:
+            # round DOWN to a multiple of align: rounding up let B exceed
+            # both max_batch and the backpointer-memory cap (e.g. a mem
+            # cap of 10 with align=8 became 16 — a 1.6x budget overshoot).
+            # align > cap is unavoidable (every shard needs a slot), so
+            # floor at align itself.
+            B = max(align, (B // align) * align)
         chunks = [idxs[i : i + B] for i in range(0, len(idxs), B)]
         out.append((T, B, chunks))
     return out

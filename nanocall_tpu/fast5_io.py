@@ -114,7 +114,13 @@ class Fast5File:
 
     def get_eventdetection_events(self, grp: str = "") -> EdEventData:
         """Events + params for the (first) read of an EventDetection group
-        (Fast5_Summary.hpp:174-184,505-509)."""
+        (Fast5_Summary.hpp:174-184,505-509).
+
+        "First" is lexicographic — deliberately: HDF5's default iteration
+        order (H5_INDEX_NAME) is lexicographic, so this matches what the
+        reference's fast5 lib sees; real-world group tags are zero-padded
+        ("000") and files carry one Read_N, so numeric-vs-lex ordering
+        differs only on hand-built files."""
         grp = grp or (self.eventdetection_groups() or [""])[0]
         reads = self._f[f"/Analyses/EventDetection_{grp}/Reads"]
         read_name = sorted(reads.keys())[0]

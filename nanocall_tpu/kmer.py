@@ -44,11 +44,15 @@ def int_to_kmer_array(K: int) -> np.ndarray:
     return ((states[:, None] >> shifts[None, :]) & 0x3).astype(np.uint8)
 
 
-def all_kmer_strings(K: int) -> list[str]:
-    """All k-mer strings in state-index order."""
+@functools.lru_cache(maxsize=None)
+def all_kmer_strings(K: int) -> tuple[str, ...]:
+    """All k-mer strings in state-index order.  Cached (and a tuple, so
+    the shared result is immutable): --write-fast5 builds a per-result
+    event/model table and would otherwise regenerate the 4^K strings for
+    every read strand."""
     codes = int_to_kmer_array(K)
     lut = np.frombuffer(_BASES.encode(), dtype=np.uint8)
-    return [bytes(lut[row]).decode() for row in codes]
+    return tuple(bytes(lut[row]).decode() for row in codes)
 
 
 def prefix(i, k: int, K: int):

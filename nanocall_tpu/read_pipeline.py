@@ -47,8 +47,6 @@ class ReadSummary:
     # per-strand selected model name (index by strand; 2 = joint)
     preferred_model: dict = dataclasses.field(default_factory=dict)
     fits: dict = dataclasses.field(default_factory=dict)
-    # loaded events per strand (None until load_events)
-    events: list = dataclasses.field(default_factory=lambda: [None, None])
 
 
 def detect_abasic_level(means: np.ndarray, top_percent: float, top_offset: float) -> float:
@@ -61,7 +59,9 @@ def detect_abasic_level(means: np.ndarray, top_percent: float, top_offset: float
     survives filter_ed_event's mean >= abasic_level drop."""
     s = np.sort(np.asarray(means, np.float32))
     idx = int(len(s) * (1.0 - top_percent / 100.0))
-    idx = min(idx, len(s) - 1)
+    # clamp both ends like the native nc_abasic_level: top_percent > 100
+    # must floor at the minimum event, not wrap to the top of the array
+    idx = min(max(idx, 0), len(s) - 1)
     return float(np.float32(s[idx] + np.float32(top_offset)))
 
 
@@ -401,7 +401,12 @@ def init_files(inputs: list) -> list:
         elif f != "-" and fast5_io.is_valid_file(f):
             files.append(f)
         else:
-            fh = sys.stdin if f == "-" else open(f)
+            # errors="replace": a CORRUPT binary file passed directly (bad
+            # HDF5 signature -> lands in this fofn branch) must not abort
+            # the run with UnicodeDecodeError; its garbage "lines" simply
+            # name no valid files, like the reference's getline loop over
+            # the same bytes (nanocall.cpp:228-253)
+            fh = sys.stdin if f == "-" else open(f, errors="replace")
             try:
                 for line in fh:
                     g = line.strip()

@@ -42,6 +42,23 @@ def test_make_buckets_chunks_are_uniform():
     assert seen == set(range(len(lengths)))
 
 
+def test_align_never_exceeds_memory_cap():
+    """Sharded (align > 1) batch sizes round DOWN to a multiple of align:
+    rounding up let B exceed both --bucket-max-batch and the backpointer
+    budget (mem cap 10, align 8 used to yield 16 — a 1.6x HBM overshoot at
+    the 100k-event shape)."""
+    T = batching.bucket_length(100_000)
+    cap = batching.batch_size_for(T, 12, BP_MEM_BUDGET, 4096)
+    assert cap == 10
+    (bT, bB, chunks), = batching.make_buckets(
+        [100_000] * 12, 12, BP_MEM_BUDGET, 4096, align=8)
+    assert bB == 8  # floor(10 / 8) * 8, within both caps
+    # align itself is the floor when align > cap (every shard needs a slot)
+    (_, bB2, _), = batching.make_buckets(
+        [100_000], 12, BP_MEM_BUDGET, 4096, align=16)
+    assert bB2 == 16
+
+
 def test_long_read_bucket_math():
     """Bucket math at the reference's 100k-event cap (nanocall.cpp:65):
     T quantizes to the next 2048 multiple and the HBM budget caps the

@@ -25,6 +25,20 @@ def test_corrupt_file_is_skipped(tmp_path, models):
     assert s.num_ed_events == 0  # skipped, no exception
 
 
+def test_corrupt_binary_input_does_not_abort_init_files(tmp_path):
+    """A file with a DAMAGED HDF5 signature falls through to the fofn
+    branch, which reads it as text: arbitrary binary garbage must yield an
+    empty file list (its 'lines' name no valid files, like the reference's
+    getline loop, nanocall.cpp:228-253), not a UnicodeDecodeError."""
+    import numpy as np
+
+    p = tmp_path / "truncated.fast5"
+    rng = np.random.default_rng(5)
+    p.write_bytes(b"\x00HDX" + rng.integers(0, 256, 4096,
+                                            dtype=np.uint8).tobytes())
+    assert read_pipeline.init_files([str(p)]) == []
+
+
 def test_missing_sampling_rate(tmp_path, models):
     import h5py
 
