@@ -263,8 +263,10 @@ def pack_train_batch(groups, summaries, models, cfg, pad_T=None, pad_G=None):
         model_idx[g] = pair_ids.setdefault(grp.model_names, len(pair_ids))
         pm0[g] = s_sum.pm_params[grp.key].as_array()
         st0[g] = [p.as_array() for p in s_sum.st_params[grp.key]]
-    # pad the bank to a fixed arity (shape stability across buckets)
-    M = max(4, len(pair_ids))
+    # pad the bank arity to a pow2 ladder (shape stability across buckets:
+    # an exact count would mint a compiled shape per distinct chunk
+    # composition once runs carry > 4 candidate model pairs)
+    M = max(4, 1 << (len(pair_ids) - 1).bit_length()) if pair_ids else 4
     mdl = {
         k: np.ones((M, 2, n), np.float32)
         for k in ("level_mean", "level_stdv", "sd_mean", "sd_lambda")
@@ -294,7 +296,8 @@ class _EMDriver:
     masked stopping), so streamed and staged feeding give identical
     results."""
 
-    def __init__(self, summaries, models, cfg: Config):
+    def __init__(self, summaries, models, cfg: Config,
+                 default_transitions=None):
         self.summaries = summaries  # live list; may grow between add()s
         self.models = models
         self.cfg = cfg
@@ -306,6 +309,19 @@ class _EMDriver:
             train_transitions=cfg.train_transitions,
             K=cfg.kmer_size,
         )
+        # a FILE-loaded default table (--trans): the reference E-steps
+        # under it whenever st params are default — incl. round 1 of every
+        # candidate (Parameter_Trainer.hpp:117-133); generated defaults
+        # are represented exactly by the grouped tables, so only the
+        # loaded case routes through the generic kernel (train_one_round
+        # default_ops)
+        if isinstance(default_transitions, transitions.SparseTransitions):
+            self.default_ops = hmm.make_trans_ops(default_transitions)
+            self.default_priors = np.array(
+                [cfg.pr_stay, cfg.pr_skip], np.float32)
+        else:
+            self.default_ops = None
+            self.default_priors = None
         self.phase1 = cfg.em_phase1_rounds or None
         self.pending = []  # (sub_groups, T, out_dev)
         self.queue: dict[int, list] = {}  # T -> groups awaiting a full chunk
@@ -315,16 +331,22 @@ class _EMDriver:
 
         self._t0 = _time.time()
 
-    def _full_batch(self, T: int) -> int:
+    def _bytes_per_cell(self) -> int:
         # EM chunks materialize alpha+beta+em as float32 (G*S, T, n)
-        # tensors — 4 seqs x 3 tensors x 4 B = 48 bytes per cell per group,
-        # NOT the decode path's 1-byte backpointers.  At the default
-        # scaling_num_events (T<=128 bucket) this still yields the full
-        # 128-group chunk; large --scaling-num-events now shrink G instead
-        # of OOMing the chip.
+        # tensors — 4 seqs x 3 tensors x 4 B = 48 bytes per cell per
+        # group, NOT the decode path's 1-byte backpointers; a --trans
+        # loaded table doubles the E-step (both kernels computed, selected
+        # per sequence)
+        return 96 if self.default_ops is not None else 48
+
+    def _full_batch(self, T: int) -> int:
+        # At the default scaling_num_events (T<=128 bucket) this still
+        # yields the full 128-group chunk; large --scaling-num-events
+        # shrink G instead of OOMing the chip.
         return batching.batch_size_for(
             T, self.cfg.train_group_batch, BP_MEM_BUDGET,
-            kmer.n_states(self.cfg.kmer_size), bytes_per_cell=48,
+            kmer.n_states(self.cfg.kmer_size),
+            bytes_per_cell=self._bytes_per_cell(),
         )
 
     def _dispatch(self, sub_groups, pad_T, pad_B, states, limit):
@@ -348,6 +370,9 @@ class _EMDriver:
         return train.run_em(
             ev, mdl, pm0, st0, self.em_cfg, caps=caps, fetch=False,
             state0=(fit0, frozen0, rounds0), round_limit=limit,
+            n_shards=self.cfg.num_shards,  # honor --num-shards like decode
+            default_ops=self.default_ops,
+            default_priors=self.default_priors,
         )
 
     def _scatter(self, grp, pm_row, st_row, fit_g, rounds_g, final):
@@ -397,7 +422,8 @@ class _EMDriver:
                 continue
             buckets = batching.make_buckets(
                 [T] * len(rest), self.cfg.train_group_batch, BP_MEM_BUDGET,
-                kmer.n_states(self.cfg.kmer_size), bytes_per_cell=48,
+                kmer.n_states(self.cfg.kmer_size),
+                bytes_per_cell=self._bytes_per_cell(),
             )
             for bT, B, chunks in buckets:
                 for chunk in chunks:
@@ -450,7 +476,7 @@ class _EMDriver:
             buckets2 = batching.make_buckets(
                 [T for _, _, T in leftovers], self.cfg.train_group_batch,
                 BP_MEM_BUDGET, kmer.n_states(self.cfg.kmer_size),
-                bytes_per_cell=48,
+                bytes_per_cell=self._bytes_per_cell(),
             )
             for T, B, chunks in buckets2:
                 for chunk in chunks:
@@ -503,7 +529,8 @@ class _EMDriver:
         self.finish_phase2()
 
 
-def train_reads(summaries, models, cfg: Config, ev_pool=None) -> None:
+def train_reads(summaries, models, cfg: Config, ev_pool=None,
+                default_transitions=None) -> None:
     """Run EM training for all reads (train_reads, nanocall.cpp:275-582),
     updating summaries in place (pm_params, st_params, fits,
     preferred_model).
@@ -516,13 +543,13 @@ def train_reads(summaries, models, cfg: Config, ev_pool=None) -> None:
         return
     if ev_pool is not None:
         ev_pool.prefetch(summaries, cfg)
-    driver = _EMDriver(summaries, models, cfg)
+    driver = _EMDriver(summaries, models, cfg, default_transitions)
     driver.add(groups)
     driver.finish()
 
 
 def summarize_and_train(files, models, cfg: Config, ev_pool=None,
-                        train_enabled=None) -> list:
+                        train_enabled=None, default_transitions=None) -> list:
     """Streamed ingest + training: summarize each fast5, load its events,
     expand its candidate groups, and dispatch EM device chunks as length
     buckets fill — so the host-side read ingestion (fast5 parsing, event
@@ -536,7 +563,8 @@ def summarize_and_train(files, models, cfg: Config, ev_pool=None,
     if train_enabled is None:
         train_enabled = cfg.train
     summaries: list = []
-    driver = _EMDriver(summaries, models, cfg) if train_enabled else None
+    driver = (_EMDriver(summaries, models, cfg, default_transitions)
+              if train_enabled else None)
     _stream_ingest(files, models, cfg, summaries, ev_pool, driver)
     if driver is not None:
         driver.finish()
@@ -609,7 +637,8 @@ def run_pipeline(files, models, cfg: Config, default_transitions=None,
 
     ev_pool = EventPool() if cfg.basecall else None
     summaries: list = []
-    driver = _EMDriver(summaries, models, cfg) if cfg.train else None
+    driver = (_EMDriver(summaries, models, cfg, default_transitions)
+              if cfg.train else None)
     untrained: list = []  # decodable reads with zero training groups
     stage = timer.stage if timer is not None else (
         lambda name: contextlib.nullcontext()
@@ -1041,8 +1070,9 @@ def _dispatch_decode_chunk(sub, T, Bc, summaries, models, cfg: Config,
         sp = s.st_params[t.key][t.strand]
         stp[bi] = [sp.p_stay, sp.p_skip]
     # model bank: each distinct model uploads once; scaling happens
-    # on device (hmm.make_scaled_model_arrays)
-    M = max(4, len(name_ids))
+    # on device (hmm.make_scaled_model_arrays).  Arity padded to a pow2
+    # ladder: shape stability across chunk compositions (> 4 models)
+    M = max(4, 1 << (len(name_ids) - 1).bit_length()) if name_ids else 4
     bank = {
         k: np.ones((M, n), np.float32)
         for k in ("level_mean", "level_stdv", "sd_mean", "sd_lambda")
@@ -1146,70 +1176,6 @@ def _finish_decode_chunk(sub, out, with_path: bool, cfg: Config,
         progress.add(len(sub))
     log.debug("decode_chunk real=%d fetch_s=%.3f host_s=%.3f",
               len(sub), t_w1 - t_w0, _time.time() - t_w1)
-
-
-def _decode_pass(tasks, summaries, models, cfg: Config, sharder,
-                 sparse_ops, is_sparse_task, with_path: bool,
-                 progress=None, ev_pool=None) -> None:
-    """Decode one set of tasks in length buckets, filling task.logp (and
-    task.path when with_path).
-
-    When a file-loaded default table is active (--trans), tasks whose
-    transition params are still default MUST decode through that sparse
-    table (nanocall.cpp:651-661: non-default st_params -> custom table,
-    default -> the loaded default_transitions) even when they share a
-    chunk with trained-st tasks, so the task list is partitioned by kind
-    before bucketing."""
-    if sparse_ops is not None:
-        sparse_tasks = [t for t in tasks if is_sparse_task(t)]
-        grouped_tasks = [t for t in tasks if not is_sparse_task(t)]
-        if sparse_tasks and grouped_tasks:
-            for part in (sparse_tasks, grouped_tasks):
-                _decode_pass(part, summaries, models, cfg, sharder,
-                             sparse_ops, is_sparse_task, with_path,
-                             progress=progress, ev_pool=ev_pool)
-            return
-    n = kmer.n_states(cfg.kmer_size)
-    if ev_pool is None:
-        ev_pool = EventPool()
-    lengths = [len(t.ev) for t in tasks]
-    buckets = batching.make_buckets(
-        lengths, cfg.bucket_max_batch, BP_MEM_BUDGET, n,
-        align=sharder.n if sharder.active else 1,
-    )
-    # phase 1: pack + dispatch every chunk asynchronously; phase 2 below
-    # fetches in order (device decode of chunk N overlaps packing of N+1)
-    import time as _time
-
-    t_pack0 = _time.time()
-    sparse_chunk = sparse_ops is not None and all(
-        is_sparse_task(t) for t in tasks
-    )
-    dispatched = []
-    for T, B, chunks in buckets:
-        for chunk in chunks:
-            sub = [tasks[i] for i in chunk]
-            out = _dispatch_decode_chunk(
-                sub, T, B, summaries, models, cfg, sharder, sparse_ops,
-                sparse_chunk, with_path, ev_pool,
-            )
-            dispatched.append((sub, out))
-    t_fetch0 = _time.time()
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(4) as fpool:
-        futs = [
-            fpool.submit(_finish_decode_chunk, sub, out, with_path, cfg,
-                         progress)
-            for sub, out in dispatched
-        ]
-        for f in futs:
-            f.result()
-    log.debug(
-        "decode_pass with_path=%s tasks=%d chunks=%d pack_dispatch_s=%.2f "
-        "fetch_assemble_s=%.2f", with_path, len(tasks), len(dispatched),
-        t_fetch0 - t_pack0, _time.time() - t_fetch0,
-    )
 
 
 def pick_winners(tasks, summaries) -> list:
@@ -1325,7 +1291,10 @@ class _DecodeDriver:
                 bytes_per_cell=60,
             )
             cap = max(q for q in (8, 64, 256, 1024) if q <= max(cap, 8))
-        return ((cap + self.align - 1) // self.align) * self.align
+        # round DOWN to a multiple of align (floor align): rounding up let
+        # a sharded batch exceed the backpointer HBM budget (cap 10 with
+        # align 8 became 16 — same bug class fixed in batching.make_buckets)
+        return max(self.align, (cap // self.align) * self.align)
 
     def add_tasks(self, tasks) -> None:
         """Register tasks (whole reads' worth): uncontested candidates are
@@ -1410,10 +1379,16 @@ class _DecodeDriver:
                     BP_MEM_BUDGET, self.n, align=self.align,
                 )
             else:
+                # cap = the SAME ladder-snapped, align-floored size the
+                # full-chunk path uses (_full_batch), and the same rung
+                # set — a leftover must never mint a compiled shape the
+                # full chunks don't already have (an unsnapped mem cap
+                # like 700 would, at minutes per shape on this backend)
+                cap = self._full_batch(T, with_path=False)
                 buckets = batching.make_buckets(
-                    [len(t.ev) for t in q], self.cfg.score_max_batch,
+                    [len(t.ev) for t in q], cap,
                     BP_MEM_BUDGET, 1, align=self.align, bytes_per_cell=60,
-                    quant=(8, 64, 256),
+                    quant=(8, 64, 256, 1024),
                 )
             for bT, B, chunks in buckets:
                 for chunk in chunks:

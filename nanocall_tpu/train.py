@@ -75,6 +75,12 @@ def _solve3_pivoted(A, B, train_drift: bool):
     for i in range(3):
         # pick pivot row among i..2 maximizing |A[r,i]|/C[r]
         vals = jnp.abs(A[:, :, i]) / C  # (G, 3)
+        # an all-zero row gives 0/0 = NaN, which jnp.argmax would treat as
+        # the maximum; the reference's strict '>' scan (hpp:346) never
+        # selects a NaN row — map NaN to -inf so the pivot test flags the
+        # singularity (p_val < eps -> done) instead of silently eliminating
+        # with a garbage pivot
+        vals = jnp.where(jnp.isnan(vals), -jnp.inf, vals)
         mask = jnp.arange(3) >= i
         vals = jnp.where(mask, vals, -jnp.inf)
         # argmax keeps the FIRST maximum; the reference uses strict '>'
@@ -133,6 +139,8 @@ def train_one_round(
     train_drift: bool = True,
     train_scaling: bool = True,
     train_transitions: bool = True,
+    default_ops=None,
+    default_priors=None,
 ):
     """One EM round over a bucket of training groups
     (Parameter_Trainer::train_one_round, hpp:541-579).
@@ -156,6 +164,19 @@ def train_one_round(
     `models` may alternatively carry a model BANK: arrays shaped (M, 2, n)
     plus a (G,) int32 'model_idx' — the per-group tables are gathered on
     device (uploading each distinct model once instead of per group).
+
+    default_ops / default_priors: a FILE-loaded default transition table
+    (--trans) as hmm.TransOps plus the (2,) float32 CLI priors.  The
+    reference's E-step runs under `default_transitions` — the loaded
+    table — whenever a strand's st params are still default
+    (Parameter_Trainer.hpp:117-133 via nanocall.cpp:374-377), which
+    includes round 1 of EVERY candidate; with a generated default table
+    the grouped decomposition represents it exactly, but a loaded table
+    is arbitrary, so those sequences must E-step through the generic
+    kernel with that exact table.  Both E-steps are computed and selected
+    per sequence (st == priors at float32, the reference's is_default
+    comparison over its float Float_Type) — 2x E-step cost, paid only on
+    --trans runs.
     """
     G, S, T = ev["mean"].shape
     if "model_idx" in models:
@@ -223,6 +244,18 @@ def train_one_round(
     fb = hmm.fwbw_grouped(gtf, model_flat, ev_flat, keep_emissions=True)
     alpha, beta, em = fb["alpha"], fb["beta"], fb["em"]  # (B, T, n)
     lpd = fb["log_pr_data"]  # (B,)
+    if default_ops is not None:
+        # sequences whose st params still equal the CLI priors E-step
+        # under the LOADED table via the generic kernel (see docstring)
+        fb2 = hmm.fwbw(default_ops, model_flat, ev_flat, keep_emissions=True)
+        pri = jnp.asarray(default_priors, jnp.float32)
+        use_def = jnp.all(st_params == pri, axis=-1)  # (G, 2) by strand
+        use_seq = jnp.take_along_axis(use_def, strand, axis=1).reshape(B)
+        m3 = use_seq[:, None, None]
+        alpha = jnp.where(m3, fb2["alpha"], alpha)
+        beta = jnp.where(m3, fb2["beta"], beta)
+        em = jnp.where(m3, fb2["em"], em)
+        lpd = jnp.where(use_seq, fb2["log_pr_data"], lpd)
 
     valid = ev["valid"].reshape(B)
     fit = jnp.sum(jnp.where(ev["valid"], lpd.reshape(G, S), 0.0), axis=1)
@@ -474,6 +507,8 @@ def run_em_device(
     train_scaling: bool = True,
     train_transitions: bool = True,
     max_rounds: int = 20,
+    default_ops=None,
+    default_priors=None,
 ):
     """The full EM loop as ONE device program: a lax.while_loop over rounds
     whose body is train_one_round plus the reference's per-candidate
@@ -506,6 +541,7 @@ def run_em_device(
         out = train_one_round(
             ev, models, pm, st, K=K, train_drift=train_drift,
             train_scaling=train_scaling, train_transitions=train_transitions,
+            default_ops=default_ops, default_priors=default_priors,
         )
         fit = out["fit"]
         done = out["done"]
@@ -551,7 +587,8 @@ def fetch_em_result(out):
 def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarray,
            cfg: EMConfig, n_shards: int = 0, device_loop: bool = True,
            caps: np.ndarray | None = None, fetch: bool = True,
-           state0: tuple | None = None, round_limit: int | None = None):
+           state0: tuple | None = None, round_limit: int | None = None,
+           default_ops=None, default_priors=None):
     """Run the full EM loop for a bucket of G training groups.
 
     Implements the reference's per-candidate stopping rules
@@ -616,6 +653,7 @@ def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarra
             train_scaling=cfg.train_scaling,
             train_transitions=cfg.train_transitions,
             max_rounds=max_rounds,
+            default_ops=default_ops, default_priors=default_priors,
         )
         if not fetch:
             return out
@@ -641,6 +679,7 @@ def run_em(ev: dict, models: dict, pm_params0: np.ndarray, st_params0: np.ndarra
             K=cfg.K, train_drift=cfg.train_drift,
             train_scaling=cfg.train_scaling,
             train_transitions=cfg.train_transitions,
+            default_ops=default_ops, default_priors=default_priors,
         )
         out = jax.device_get(out)  # one host round-trip for all outputs
         fit = np.asarray(out["fit"], dtype=np.float32)

@@ -58,8 +58,17 @@ class TransitionParams:
     p_skip: float = DEFAULT_P_SKIP
 
     def is_default(self, defaults: "TransitionParams | None" = None) -> bool:
+        # compared at FLOAT32: the EM pipeline round-trips params through
+        # the device's f32 (a frozen/untrained group scatters back
+        # float(np.float32(0.1)) != 0.1), and the reference's Float_Type
+        # IS float — its default-vs-trained test (nanocall.cpp:651-661)
+        # compares f32 values.  An exact f64 == here silently re-routed
+        # trained-but-default reads away from a --trans loaded table.
         d = defaults if defaults is not None else TransitionParams()
-        return self.p_stay == d.p_stay and self.p_skip == d.p_skip
+        return bool(
+            np.float32(self.p_stay) == np.float32(d.p_stay)
+            and np.float32(self.p_skip) == np.float32(d.p_skip)
+        )
 
     def as_array(self) -> np.ndarray:
         return np.array([self.p_stay, self.p_skip], dtype=np.float32)

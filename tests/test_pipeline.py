@@ -624,7 +624,7 @@ def test_dump_training_data(tmp_path):
 
 
 def test_decode_branches_agree(sim_dir, models):
-    """The three decode dispatch branches in basecall._decode_pass (fused
+    """The three decode dispatch branches (_dispatch_decode_chunk: fused
     grouped / sharded grouped / sparse+grouped partition) must produce the
     same winners on one shared mixed workload — the automated tripwire for
     branch drift (round 1's two semantic bugs were exactly here).
@@ -633,8 +633,8 @@ def test_decode_branches_agree(sim_dir, models):
     (not a %g TSV round trip), so sparse-vs-grouped equality is the
     grouped decomposition's exactness, not text-precision luck.  Half the
     reads get non-default st_params so the sparse run exercises the
-    partition (trained tasks -> grouped, default tasks -> sparse) inside
-    one _decode_pass call.
+    partition (trained tasks -> grouped, default tasks -> sparse) within
+    one run_decode_tasks call.
     """
     from nanocall_tpu import transitions
     from nanocall_tpu.transitions import TransitionParams, sparse_from_pairs

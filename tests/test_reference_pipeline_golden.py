@@ -257,6 +257,33 @@ def test_trans_file_fasta_identical(ref_nanocall, datasets, tmp_path):
     assert ref_fa == my_fa
 
 
+def test_trans_file_with_training_fasta_identical(ref_nanocall, datasets,
+                                                  tmp_path):
+    """--trans <file> + EM training with --no-train-transitions: every
+    read's st params stay DEFAULT through training, so the reference
+    decodes through the LOADED table, not one built from the defaults
+    (nanocall.cpp:651-661 compares float32 st_params against the
+    default-constructed ones).  Pins the f32-aware TransitionParams
+    .is_default: our EM scatter round-trips params through float32, and
+    an exact f64 comparison silently re-routed these reads to grouped
+    tables built from near-default params instead of the loaded sparse
+    table.  The loaded table uses NON-default priors so the two routes
+    produce different FASTA — byte equality proves the routing.
+    Fixed EM rounds keep both sides' trained pm_params in lockstep."""
+    from nanocall_tpu import tools
+
+    f5s, txts, d = datasets
+    trans = tmp_path / "trans_tr.tsv"
+    rc = tools.main(["compute-state-transitions", "--fast",
+                     "-t", "0.14", "-k", "0.21", "-o", str(trans)])
+    assert rc == 0
+    flags = ["--pore", "r73", "-s", str(trans), "--no-train-transitions",
+             "--scaling-min-progress", "0", "--scaling-max-rounds", "10"]
+    ref_fa, _ = run_ref(ref_nanocall, txts, d, "tftr", *flags)
+    my_fa, _ = run_ours(f5s, d, "tftr", *flags)
+    assert ref_fa == my_fa
+
+
 def test_single_strand_scaling_fixed_rounds_params_agree(ref_nanocall, datasets):
     """Pins the stopping-edge claim: the residual trained-FASTA divergence
     in test_single_strand_scaling_trained_fasta comes from the
