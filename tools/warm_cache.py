@@ -30,7 +30,7 @@ def main():
 
     import jax.numpy as jnp  # noqa: E402
 
-    from nanocall_tpu import basecall, batching, kmer, train  # noqa: E402
+    from nanocall_tpu import basecall, kmer, train  # noqa: E402
     from nanocall_tpu.models import load_builtin_models  # noqa: E402
     from nanocall_tpu.observe import enable_compilation_cache  # noqa: E402
     from nanocall_tpu.ops import hmm  # noqa: E402
@@ -130,26 +130,37 @@ def main():
                      round_limit=Config().em_phase1_rounds)
         print(f"train G={G} drift={drift}: {time.time()-t0:.0f}s", flush=True)
 
-    # decode shapes: the production batch-size quantization is {8, 64, cap}
-    # per bucket T (batching.make_buckets)
+    # decode shapes: the exact ladder production can dispatch is
+    # enumerated by nanocall_tpu/shapes.py (pinned to the drivers by
+    # tests/test_shapes.py).  Production-common length buckets only
+    # (short-read rungs < 2048 compile like any other shape when first
+    # hit); pool arities through 1024 — the standard 512-read 2D
+    # workload quantizes to Pq=1024, and an un-warmed arity measured a
+    # 225 s mid-pipeline stall (round 4).
+    from nanocall_tpu import shapes
+    from nanocall_tpu.config import Config
+
+    cfg = Config()
     Ts = [4096] if args.quick else [2048, 4096, 6144, 8192, 10240]
-    for T in Ts:
-        cap = batching.batch_size_for(T, 256, basecall.BP_MEM_BUDGET, n)
-        Bs = [cap] if args.quick else sorted({8, 64, cap})
-        for B in Bs:
-            for wp in (True, False):
-                run_decode(B, T, wp)
-                # pool row count quantizes to pow2; warm the sizes a
-                # 256-512 read workload hits
-                for P in ({256} if args.quick else {128, 256, 512}):
-                    run_chunk(B, T, P, wp)
-    # training chunk batch sizes quantize to {8, 64, cap=128} (make_buckets
-    # with cfg.train_group_batch=128); leftovers/stragglers hit 64 and 8
-    run_train(128, True)
+    Ps = (256,) if args.quick else (128, 256, 512, 1024)
+    done_decode = set()
+    for T, B, P, wp in shapes.decode_chunk_shapes(cfg, Ts, pool_rungs=Ps):
+        if args.quick and B != max(
+            shapes.path_chunk_batches(cfg, T)
+        ):
+            continue
+        if (T, B, wp) not in done_decode:
+            done_decode.add((T, B, wp))
+            run_decode(B, T, wp)
+        run_chunk(B, T, P, wp)
+    # training chunk batch sizes: shapes.train_chunk_batches -> {8, 64,
+    # cap=128}; leftovers/stragglers hit 64 and 8
+    Gs = shapes.train_chunk_batches(cfg)
+    run_train(max(Gs), True)
     if not args.quick:
-        run_train(128, False)
-        run_train(64, True)
-        run_train(8, True)
+        run_train(max(Gs), False)
+        for G in Gs[:-1]:
+            run_train(G, True)
     # the bench's MFU roofline chain (op-count-matched FMA scan)
     if not args.quick:
         from nanocall_tpu import roofline
