@@ -132,3 +132,35 @@ def test_write_fast5_one_bad_file_does_not_abort(tmp_path, monkeypatch, caplog):
         assert "Nanocall_000" in f["/Analyses"]
     with h5py.File(d / "a.fast5", "r") as f:
         assert "Nanocall_000" not in f.get("/Analyses", {})
+
+
+def test_ed_group_selection(tmp_path):
+    """Multiple EventDetection groups: the default picks the smallest
+    available NNN (reference --ed-group default, nanocall.cpp:56 /
+    Fast5_Summary.hpp:174-184); an explicit group overrides.  Pins the
+    --ed-group flag's read path."""
+    import h5py
+
+    path = str(tmp_path / "two_groups.fast5")
+    rng = np.random.default_rng(3)
+    m1 = rng.uniform(40, 90, 60)
+    fast5_io.write_fast5(path, m1, np.ones(60), np.arange(60) * 20.0,
+                         np.full(60, 20.0), read_id="r-a", ed_group="001")
+    m2 = rng.uniform(40, 90, 40)
+    with h5py.File(path, "a") as f:
+        rg = f.create_group("/Analyses/EventDetection_002/Reads/Read_0")
+        rg.attrs["read_id"] = np.bytes_(b"r-b")
+        dt = np.dtype([("mean", "<f8"), ("stdv", "<f8"), ("start", "<i8"),
+                       ("length", "<i8")])
+        tbl = np.zeros(40, dtype=dt)
+        tbl["mean"] = m2
+        tbl["length"] = 20
+        rg.create_dataset("Events", data=tbl)
+    with fast5_io.Fast5File(path) as f:
+        assert f.eventdetection_groups() == ["001", "002"]
+        assert f.have_eventdetection_events()          # default resolves
+        d_def = f.get_eventdetection_events()
+        d_explicit = f.get_eventdetection_events("002")
+        assert d_def.read_id == "r-a" and np.allclose(d_def.mean, m1)
+        assert d_explicit.read_id == "r-b" and np.allclose(d_explicit.mean, m2)
+        assert not f.have_eventdetection_events("007")

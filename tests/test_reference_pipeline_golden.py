@@ -284,6 +284,68 @@ def test_trans_file_with_training_fasta_identical(ref_nanocall, datasets,
     assert ref_fa == my_fa
 
 
+def test_custom_model_file_fasta_identical(ref_nanocall, datasets, models,
+                                           tmp_path):
+    """-m <strand:file>: both implementations load the same pore-model TSV
+    through their own text readers (ours written by pore_model.save_tsv in
+    the reference's format) instead of the builtin bank, key it by the
+    path string (nanocall.cpp:137-152), and decode identically.  Strand
+    spec 2 registers the model for both strands; the 2-strand read then
+    contests template-vs-complement candidates from the same table."""
+    from nanocall_tpu import pore_model
+
+    f5s, txts, d = datasets
+    mfile = tmp_path / "custom.model"
+    pore_model.save_tsv(models["r73.t.006"], mfile)
+    flags = ["--pore", "r73", "--no-train", "-m", f"2:{mfile}"]
+    ref_fa, ref_stats = run_ref(ref_nanocall, txts, d, "cm", *flags)
+    my_fa, my_stats = run_ours(f5s, d, "cm", *flags)
+    assert ref_fa == my_fa
+    assert f"{mfile}" in my_stats  # stats key = the path string
+    assert_stats_match(ref_stats, my_stats, float_rtol=1e-4)
+
+
+def test_model_fofn_two_strand_files_fasta_identical(ref_nanocall, datasets,
+                                                     models, tmp_path):
+    """--model-fofn: a file of strand:path lines (nanocall.cpp:117-136)
+    giving DIFFERENT per-strand models must route strand 0 candidates to
+    the template table and strand 1 to the complement table in both
+    implementations."""
+    from nanocall_tpu import pore_model
+
+    f5s, txts, d = datasets
+    mt = tmp_path / "t.model"
+    mc = tmp_path / "c.model"
+    pore_model.save_tsv(models["r73.t.006"], mt)
+    pore_model.save_tsv(models["r73.c.p1.006"], mc)
+    fofn = tmp_path / "models.fofn"
+    fofn.write_text(f"0:{mt}\n1:{mc}\n")
+    flags = ["--pore", "r73", "--no-train", "--model-fofn", str(fofn)]
+    ref_fa, _ = run_ref(ref_nanocall, txts, d, "fofn", *flags)
+    my_fa, _ = run_ours(f5s, d, "fofn", *flags)
+    assert ref_fa == my_fa
+
+
+def test_trim_margins_and_line_width_fasta_identical(ref_nanocall, datasets):
+    """Non-default --trim-ed-* margins move the strand bounds that feed
+    abasic/hairpin splitting (Fast5_Summary.hpp:653-731 via
+    trim_margins), and --fasta-line-width rewraps the FASTA writer
+    (nanocall.cpp:584-591) — both byte-visible, so one combined run pins
+    them against the reference binary."""
+    f5s, txts, d = datasets
+    flags = ["--pore", "r73", "--no-train",
+             "--trim-ed-sq-start", "10", "--trim-ed-sq-end", "5",
+             "--trim-ed-hp-start", "20", "--trim-ed-hp-end", "30",
+             "--fasta-line-width", "17"]
+    ref_fa, ref_stats = run_ref(ref_nanocall, txts, d, "trimlw", *flags)
+    my_fa, my_stats = run_ours(f5s, d, "trimlw", *flags)
+    assert ref_fa == my_fa
+    assert max(len(l) for l in my_fa.splitlines()
+               if not l.startswith(">")) <= 17
+    # the moved bounds must appear identically in the stats
+    assert_stats_match(ref_stats, my_stats, float_rtol=1e-4)
+
+
 def test_single_strand_scaling_fixed_rounds_params_agree(ref_nanocall, datasets):
     """Pins the stopping-edge claim: the residual trained-FASTA divergence
     in test_single_strand_scaling_trained_fasta comes from the
