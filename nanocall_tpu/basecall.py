@@ -26,16 +26,12 @@ from . import batching, events as events_mod, kmer, read_pipeline, train, transi
 from .config import Config
 from .ops import hmm
 from .pore_model import PoreModelParams
+# the HBM budget and batch-quant ladders live in shapes.py — the single
+# enumeration of every compiled shape the drivers below may emit
+from .shapes import BP_MEM_BUDGET, SCORE_QUANT
 from .transitions import TransitionParams
 
 log = logging.getLogger("nanocall")
-
-# Backpointer HBM budget for decode buckets.  The compiled decode program's
-# peak HBM is ~2.5x the bp tensor (XLA keeps the forward scan's ys buffer
-# plus the traceback scan's input copy): a 6.4GB bp chunk compiled to a 16GB
-# program and OOM'd the 15.75GB chip, while 4.3GB -> ~11GB fits.  4GB keeps
-# the peak near 10GB with headroom for in-flight pipelined chunk I/O.
-BP_MEM_BUDGET = 4 << 30
 
 
 # ---------------------------------------------------------------------------
@@ -1290,7 +1286,7 @@ class _DecodeDriver:
                 T, self.cfg.score_max_batch, BP_MEM_BUDGET, 1,
                 bytes_per_cell=60,
             )
-            cap = max(q for q in (8, 64, 256, 1024) if q <= max(cap, 8))
+            cap = max(q for q in SCORE_QUANT if q <= max(cap, 8))
         # round DOWN to a multiple of align (floor align): rounding up let
         # a sharded batch exceed the backpointer HBM budget (cap 10 with
         # align 8 became 16 — same bug class fixed in batching.make_buckets)
@@ -1388,7 +1384,7 @@ class _DecodeDriver:
                 buckets = batching.make_buckets(
                     [len(t.ev) for t in q], cap,
                     BP_MEM_BUDGET, 1, align=self.align, bytes_per_cell=60,
-                    quant=(8, 64, 256, 1024),
+                    quant=SCORE_QUANT,
                 )
             for bT, B, chunks in buckets:
                 for chunk in chunks:

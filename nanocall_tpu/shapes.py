@@ -6,8 +6,12 @@ dispatch drivers are designed to emit tensors only from small quantized
 shape ladders (batching.make_buckets quant rungs, pow2 pool/bank
 arities).  This module is the single enumeration of that budget:
 
-- tools/warm_cache.py executes the enumeration once per machine so
-  production runs never pay a mid-pipeline compile;
+- tools/warm_cache.py executes the enumeration once per machine (over
+  the production-common length buckets and, in full mode, every pool
+  rung) so standard production runs never pay a mid-pipeline compile --
+  workloads off the warmed slice (length buckets < 2048, sharded
+  align > 1 runs) compile their shapes on first contact and amortize
+  through the persistent cache;
 - tests/test_shapes.py sweeps the REAL driver sizing functions
   (_DecodeDriver._full_batch, _EMDriver._full_batch, make_buckets,
   EventPool pow2 quantization) over adversarial workload sizes and
@@ -25,8 +29,12 @@ from __future__ import annotations
 from . import batching, kmer
 from .config import Config
 
-# mirrors basecall.BP_MEM_BUDGET (imported there from here would be a
-# cycle; test_shapes.py asserts they match)
+# Backpointer HBM budget for decode buckets (consumed by basecall.py's
+# drivers).  The compiled decode program's peak HBM is ~2.5x the bp
+# tensor (XLA keeps the forward scan's ys buffer plus the traceback
+# scan's input copy): a 6.4GB bp chunk compiled to a 16GB program and
+# OOM'd the 15.75GB chip, while 4.3GB -> ~11GB fits.  4GB keeps the peak
+# near 10GB with headroom for in-flight pipelined chunk I/O.
 BP_MEM_BUDGET = 4 << 30
 
 #: pow2 pool-row arities (EventPool._finalize: Pq = next_pow2(rows)).

@@ -10,7 +10,7 @@ un-warmed pool arity)."""
 import numpy as np
 import pytest
 
-from nanocall_tpu import basecall, batching, shapes, transitions
+from nanocall_tpu import batching, shapes, transitions
 from nanocall_tpu.basecall import _DecodeDriver, _EMDriver, EventPool
 from nanocall_tpu.config import Config
 
@@ -25,10 +25,6 @@ def _decode_driver(cfg, default_transitions=None):
 class _FakeTask:
     def __init__(self, L):
         self.ev = np.zeros(L, np.float32)
-
-
-def test_budget_constant_mirrors_basecall():
-    assert shapes.BP_MEM_BUDGET == basecall.BP_MEM_BUDGET
 
 
 def test_length_rungs_cover_bucket_length():

@@ -132,17 +132,19 @@ def main():
 
     # decode shapes: the exact ladder production can dispatch is
     # enumerated by nanocall_tpu/shapes.py (pinned to the drivers by
-    # tests/test_shapes.py).  Production-common length buckets only
-    # (short-read rungs < 2048 compile like any other shape when first
-    # hit); pool arities through 1024 — the standard 512-read 2D
-    # workload quantizes to Pq=1024, and an un-warmed arity measured a
-    # 225 s mid-pipeline stall (round 4).
+    # tests/test_shapes.py).  Full mode covers the production-common
+    # length buckets x every pool rung (a small bucket of a mixed
+    # workload can pair any batch rung with a small pool arity; an
+    # un-warmed arity measured a 225 s mid-pipeline stall in round 4).
+    # NOT warmed, by design: length buckets < 2048 and sharded
+    # (--num-shards > 1) batch floors — off-slice shapes compile on
+    # first contact and persist in the cache like everything else.
     from nanocall_tpu import shapes
     from nanocall_tpu.config import Config
 
     cfg = Config()
     Ts = [4096] if args.quick else [2048, 4096, 6144, 8192, 10240]
-    Ps = (256,) if args.quick else (128, 256, 512, 1024)
+    Ps = (256,) if args.quick else shapes.POOL_RUNGS
     done_decode = set()
     for T, B, P, wp in shapes.decode_chunk_shapes(cfg, Ts, pool_rungs=Ps):
         if args.quick and B != max(
