@@ -39,6 +39,32 @@ def test_corrupt_binary_input_does_not_abort_init_files(tmp_path):
     assert read_pipeline.init_files([str(p)]) == []
 
 
+def test_fofn_and_stdin_input_resolution(tmp_path, monkeypatch):
+    """fofn files list fast5 paths one per line, and '-' reads the fofn
+    from stdin (nanocall.cpp:198-261): blank lines and names of invalid
+    files are skipped, order is preserved."""
+    import io
+
+    import numpy as np
+
+    from nanocall_tpu import fast5_io
+
+    f5s = []
+    for i in range(2):
+        p = str(tmp_path / f"r{i}.fast5")
+        fast5_io.write_fast5(p, np.full(20, 60.0), np.ones(20),
+                             np.arange(20) * 20.0, np.full(20, 20.0),
+                             read_id=f"r{i}")
+        f5s.append(p)
+    bogus = tmp_path / "not_a_fast5.txt"
+    bogus.write_text("hello\n")
+    fofn = tmp_path / "reads.fofn"
+    fofn.write_text(f"{f5s[1]}\n\n{bogus}\n{f5s[0]}\n")
+    assert read_pipeline.init_files([str(fofn)]) == [f5s[1], f5s[0]]
+    monkeypatch.setattr("sys.stdin", io.StringIO(f"{f5s[0]}\n{f5s[1]}\n"))
+    assert read_pipeline.init_files(["-"]) == f5s
+
+
 def test_missing_sampling_rate(tmp_path, models):
     import h5py
 
