@@ -9,6 +9,7 @@ un-warmed pool arity)."""
 
 import numpy as np
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from nanocall_tpu import batching, shapes, transitions
 from nanocall_tpu.basecall import _DecodeDriver, _EMDriver, EventPool
@@ -77,6 +78,38 @@ def test_flush_shapes_in_ladder(cfg, with_path):
                 )
 
 
+@settings(max_examples=80, deadline=None)
+@given(
+    bmb=st.sampled_from([16, 64, 256, 1000]),
+    smb=st.sampled_from([0, 64, 700, 1024, 4096]),
+    align=st.sampled_from([1, 2, 3, 8]),
+    L=st.sampled_from([50, 2048, 8000, 99_999]),
+    qlen=st.integers(1, 300),
+    wp=st.booleans(),
+)
+def test_flush_shapes_in_ladder_randomized(bmb, smb, align, L, qlen, wp):
+    """Hypothesis sweep over batching configs, shard aligns, lengths, and
+    queue sizes: the real _flush/_full_batch may only ever emit enumerated
+    shapes (odd --bucket-max-batch/--score-max-batch values must snap into
+    the ladder, not mint per-config shapes)."""
+    cfg = Config(num_shards=1, bucket_max_batch=bmb, score_max_batch=smb)
+    drv = _decode_driver(cfg)
+    drv.align = align
+    seen = []
+    drv._dispatch = lambda sub, T, B, kind, w: seen.append((T, B))
+    T = batching.bucket_length(L)
+    drv.queue = {(T, False, wp): [_FakeTask(L)] * qlen}
+    drv._flush(wp)
+    ladder = (shapes.path_chunk_batches if wp
+              else shapes.score_chunk_batches)
+    assert seen
+    for sT, sB in seen:
+        assert sB in ladder(cfg, sT, align=align), (
+            f"unenumerated shape T={sT} B={sB} cfg=({bmb},{smb}) "
+            f"align={align} qlen={qlen} wp={wp}")
+    assert drv._full_batch(T, with_path=wp) in ladder(cfg, T, align=align)
+
+
 def test_flush_shapes_respect_align():
     """Sharded runs floor every batch to a device multiple; the aligned
     ladder must cover those too."""
@@ -104,10 +137,10 @@ def test_em_full_batch_in_ladder():
 def test_em_full_batch_with_trans_table_in_ladder():
     """A loaded --trans table doubles the E-step footprint (both kernels
     computed); the enumeration must track _bytes_per_cell."""
-    st = transitions.sparse_from_pairs(
+    table = transitions.sparse_from_pairs(
         transitions.structured_to_pairs(transitions.build_structured()), 6)
     cfg = Config(scaling_num_events=4096)
-    drv = _EMDriver([], {}, cfg, default_transitions=st)
+    drv = _EMDriver([], {}, cfg, default_transitions=table)
     assert drv._bytes_per_cell() == 96
     for T in (128, 2048):
         assert drv._full_batch(T) in shapes.train_chunk_batches(
