@@ -92,10 +92,21 @@ def ensure_pool(workers: int = -1) -> None:
     workers = _resolve_workers(workers)
     if workers > 1:
         try:
-            _get_executor(workers)
+            pool = _get_executor(workers)
+            # ProcessPoolExecutor forks workers lazily at first submit(),
+            # not at construction — constructing the executor alone would
+            # leave the actual fork() to happen later, after gRPC threads
+            # exist.  Run one trivial task per worker and wait, so every
+            # worker process exists before we return.
+            list(pool.map(_warm_task, range(workers)))
         except Exception as e:  # pool is an optimization, never fatal
             log.warning("ingest pool pre-create failed (%s)", e)
             _discard_executor()
+
+
+def _warm_task(_i):
+    """Trivial picklable task used to force eager worker fork (ensure_pool)."""
+    return os.getpid()
 
 
 def _worker_chunk(paths, models, cfg):

@@ -88,11 +88,20 @@ def merge_shards(output: str, num_processes: int, cleanup: bool = True) -> None:
     # under the final name (the same exists-means-complete contract the
     # per-shard writers keep, cli.py write-then-rename)
     tmp = output + ".tmp"
-    with open(tmp, "wb") as out:
-        for shard in shards:
-            with open(shard, "rb") as fh:
-                shutil.copyfileobj(fh, out)  # constant memory per shard
-    os.replace(tmp, output)
+    try:
+        with open(tmp, "wb") as out:
+            for shard in shards:
+                with open(shard, "rb") as fh:
+                    shutil.copyfileobj(fh, out)  # constant memory per shard
+        os.replace(tmp, output)
+    except BaseException:
+        # a failed merge (disk full, IO error) must not leave a partial
+        # .tmp behind — shards stay, the tmp goes, the caller retries
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
     if cleanup:
         for shard in shards:
             os.remove(shard)

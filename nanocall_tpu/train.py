@@ -76,10 +76,15 @@ def _solve3_pivoted(A, B, train_drift: bool):
         # pick pivot row among i..2 maximizing |A[r,i]|/C[r]
         vals = jnp.abs(A[:, :, i]) / C  # (G, 3)
         # an all-zero row gives 0/0 = NaN, which jnp.argmax would treat as
-        # the maximum; the reference's strict '>' scan (hpp:346) never
-        # selects a NaN row — map NaN to -inf so the pivot test flags the
+        # the maximum; map NaN to -inf so the pivot test flags the
         # singularity (p_val < eps -> done) instead of silently eliminating
-        # with a garbage pivot
+        # with a garbage pivot.  DELIBERATE robustness deviation: the
+        # reference's scan starts its candidate AT row i (hpp:342), so when
+        # row i itself is all-zero its strict '>' (hpp:346) never replaces
+        # the NaN candidate and it proceeds with the zero pivot (NaN
+        # propagation); we instead either pick a valid later row or flag
+        # the group singular.  Unreachable on realistic moment matrices
+        # (rows of A are positive sums of squares; goldens pass).
         vals = jnp.where(jnp.isnan(vals), -jnp.inf, vals)
         mask = jnp.arange(3) >= i
         vals = jnp.where(mask, vals, -jnp.inf)

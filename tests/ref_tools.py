@@ -18,6 +18,7 @@ rather than a transcription.
 
 from __future__ import annotations
 
+import hashlib
 import pathlib
 import shutil
 import subprocess
@@ -29,23 +30,76 @@ BUILD = REPO / "build" / "ref_tools"
 TOOLS = ("run-viterbi", "run-fwbw", "compute-state-transitions")
 
 
+def _dep_hash(extra_paths=(), extra_tokens=()) -> str:
+    """Content hash over everything a reference-tool build depends on
+    (shim headers + reference headers + the named sources + the compile
+    flags), so the build/ cache survives across sessions and checkouts
+    (git resets mtimes; content does not lie)."""
+    h = hashlib.sha256()
+    deps = sorted(
+        [p for p in SHIMS.rglob("*") if p.is_file() and p.suffix != ".pyc"]
+        + list(REF_SRC.glob("*.hpp"))
+    ) + [pathlib.Path(p) for p in extra_paths]
+    for p in deps:
+        h.update(str(p).encode())
+        h.update(p.read_bytes())
+    for t in extra_tokens:
+        h.update(t.encode())
+    return h.hexdigest()
+
+
+def _stale(exe: pathlib.Path, want_hash: str) -> bool:
+    stamp = exe.with_suffix(".stamp")
+    return not (
+        exe.exists() and stamp.exists() and stamp.read_text() == want_hash
+    )
+
+
+def _stamp(exe: pathlib.Path, h: str) -> None:
+    exe.with_suffix(".stamp").write_text(h)
+
+
+GOLDEN_SKIP_TAG = "[golden-skip]"
+
+
+def golden_unavailable(reason: str):
+    """Skip (or FAIL) a reference-binary golden test whose fixture is
+    unavailable.
+
+    The golden tests are the single most important conformance evidence;
+    a silent skip green-lights a run in which they never executed.  Two
+    loudness levels:
+    - NANOCALL_REQUIRE_GOLDENS=1 (or an available /root/reference tree,
+      auto-detected in conftest.py) -> pytest.fail: the suite goes RED.
+    - otherwise -> pytest.skip with GOLDEN_SKIP_TAG, which conftest.py
+      counts and surfaces as a prominent terminal-summary warning (and a
+      GitHub Actions ::warning:: annotation in CI).
+    """
+    import os
+
+    import pytest
+
+    if os.environ.get("NANOCALL_REQUIRE_GOLDENS"):
+        pytest.fail(
+            f"reference-binary goldens REQUIRED but unavailable: {reason} "
+            f"(unset NANOCALL_REQUIRE_GOLDENS to run without them)",
+            pytrace=False,
+        )
+    pytest.skip(f"{GOLDEN_SKIP_TAG} {reason}")
+
+
 def build_ref_tools() -> dict[str, str] | None:
     """Compile the reference dev tools; returns {name: exe path}, or None
     when the reference tree / compiler is unavailable (tests skip)."""
     if not REF_SRC.is_dir() or shutil.which("g++") is None:
         return None
     BUILD.mkdir(parents=True, exist_ok=True)
-    dep_mtime = max(
-        [p.stat().st_mtime for p in SHIMS.rglob("*") if p.is_file()]
-        + [p.stat().st_mtime for p in REF_SRC.glob("*.hpp")]
-    )
     out = {}
     for t in TOOLS:
         exe = BUILD / t
         src = REF_SRC / f"{t}.cpp"
-        if not exe.exists() or exe.stat().st_mtime < max(
-            dep_mtime, src.stat().st_mtime
-        ):
+        want = _dep_hash(extra_paths=[src], extra_tokens=["-O2 c++11"])
+        if _stale(exe, want):
             cmd = [
                 "g++", "-O2", "-std=c++11",
                 f"-I{SHIMS}", f"-I{REF_SRC}",
@@ -56,6 +110,7 @@ def build_ref_tools() -> dict[str, str] | None:
                 raise RuntimeError(
                     f"failed to build reference tool {t}:\n{r.stderr[:4000]}"
                 )
+            _stamp(exe, want)
         out[t] = str(exe)
     return out
 
@@ -151,13 +206,11 @@ def build_ref_nanocall(dump_training_data: bool = False) -> str | None:
     BUILD.mkdir(parents=True, exist_ok=True)
     exe = BUILD / ("nanocall_dump" if dump_training_data else "nanocall")
     srcs = [REF_SRC / "nanocall.cpp", REF_SRC / "Builtin_Model.cpp"]
-    dep_mtime = max(
-        [p.stat().st_mtime for p in SHIMS.rglob("*") if p.is_file()]
-        + [p.stat().st_mtime for p in REF_SRC.glob("*.hpp")]
-        + [p.stat().st_mtime for p in REF_BUILTIN.glob("*.inl")]
-        + [p.stat().st_mtime for p in srcs]
+    want = _dep_hash(
+        extra_paths=srcs + sorted(REF_BUILTIN.glob("*.inl")),
+        extra_tokens=["-O2 c++11 pthread", f"dump={dump_training_data}"],
     )
-    if not exe.exists() or exe.stat().st_mtime < dep_mtime:
+    if _stale(exe, want):
         cmd = [
             "g++", "-O2", "-std=c++11", "-pthread",
             f"-I{SHIMS}", f"-I{REF_SRC}", f"-I{REF_BUILTIN}",
@@ -169,6 +222,7 @@ def build_ref_nanocall(dump_training_data: bool = False) -> str | None:
             raise RuntimeError(
                 f"failed to build reference nanocall:\n{r.stderr[:6000]}"
             )
+        _stamp(exe, want)
     return str(exe)
 
 

@@ -156,8 +156,10 @@ def test_merge_is_atomic_and_preserves_shards_on_failure(tmp_path,
         multihost.merge_shards(out, 2)
     import os
 
-    # no plausible-looking partial output; every shard intact -> re-merge OK
+    # no plausible-looking partial output NOR a stale partial .tmp; every
+    # shard intact -> re-merge OK
     assert not os.path.exists(out)
+    assert not os.path.exists(out + ".tmp")
     monkeypatch.undo()
     multihost.merge_shards(out, 2)
     assert open(out).read() == ">r0\nACGT\n>r1\nACGT\n"

@@ -1,5 +1,7 @@
 """End-to-end pipeline tests on simulated fast5 reads (builtin r73 models)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -389,6 +391,27 @@ def test_ingest_pool_matches_inprocess(sim_dir, models, monkeypatch):
         ingest.shutdown()
     assert [r[0] for r in seq] == [r[0] for r in pool]
     assert seq == pool
+
+
+def test_ensure_pool_forks_workers_eagerly():
+    """ensure_pool exists to fork workers while the process is still
+    single-threaded (before jax.distributed spawns gRPC threads) — but
+    ProcessPoolExecutor forks lazily at first submit(), so ensure_pool
+    must force the spawn, not just construct the executor."""
+    import subprocess
+
+    from nanocall_tpu import ingest
+
+    try:
+        ingest.ensure_pool(2)
+        out = subprocess.run(
+            ["ps", "--ppid", str(os.getpid()), "-o", "pid="],
+            capture_output=True, text=True,
+        ).stdout
+        # ps itself is a child at sample time; require >= 2 + 1
+        assert len(out.split()) >= 3, f"workers not forked: ps children={out!r}"
+    finally:
+        ingest.shutdown()
 
 
 def test_event_pool_block_upload_and_growth():

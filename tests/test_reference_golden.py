@@ -20,6 +20,7 @@ import pytest
 
 from nanocall_tpu import events as events_mod, kmer, pore_model, tools, transitions
 from nanocall_tpu.models import load_builtin_models
+import ref_tools
 from ref_tools import build_ref_tools, run_tool
 
 K = 6
@@ -31,9 +32,9 @@ def ref():
     try:
         tools_map = build_ref_tools()
     except RuntimeError as e:
-        pytest.skip(f"reference tools failed to build: {e}")
+        ref_tools.golden_unavailable(f"reference tools failed to build: {e}")
     if tools_map is None:
-        pytest.skip("reference sources or g++ unavailable")
+        ref_tools.golden_unavailable("reference sources or g++ unavailable")
     return tools_map
 
 

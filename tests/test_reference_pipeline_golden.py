@@ -36,7 +36,7 @@ import ref_tools
 def ref_nanocall():
     exe = ref_tools.build_ref_nanocall()
     if exe is None:
-        pytest.skip("reference tree or compiler unavailable")
+        ref_tools.golden_unavailable("reference tree or compiler unavailable")
     return exe
 
 
@@ -175,7 +175,7 @@ def test_dump_training_data_golden(datasets, tmp_path):
     whose dense transition tables are identical, filler pattern included."""
     exe = ref_tools.build_ref_nanocall_dump()
     if exe is None:
-        pytest.skip("reference tree or compiler unavailable")
+        ref_tools.golden_unavailable("reference tree or compiler unavailable")
     f5s, txts, d = datasets
 
     ref_cwd = tmp_path / "ref"
