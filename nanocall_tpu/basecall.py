@@ -323,6 +323,14 @@ class _EMDriver:
         self.queue: dict[int, list] = {}  # T -> groups awaiting a full chunk
         self.n_groups = 0
         self.n_stragglers = 0
+        # device-work accounting for the EM roofline (bench.py --e2e /
+        # roofline.em_mfu_report): every while_loop iteration E-steps the
+        # FULL (G, S, T) batch regardless of per-group frozen flags, so
+        # device event-rounds = loop iterations x G x S x T per dispatch
+        self._meta: list = []  # (G, S, T, rounds0, limit) in dispatch order
+        self._meta_i = 0
+        self.work_event_rounds = 0
+        self.work_bucket_iters: list = []
         import time as _time
 
         self._t0 = _time.time()
@@ -363,6 +371,8 @@ class _EMDriver:
         for gi, st in enumerate(states):
             if st is not None:
                 fit0[gi], _, rounds0[gi] = st
+        self._meta.append((pad_B, ev["mean"].shape[1], pad_T,
+                           rounds0.copy(), limit))
         return train.run_em(
             ev, mdl, pm0, st0, self.em_cfg, caps=caps, fetch=False,
             state0=(fit0, frozen0, rounds0), round_limit=limit,
@@ -370,6 +380,22 @@ class _EMDriver:
             default_ops=self.default_ops,
             default_priors=self.default_priors,
         )
+
+    def _account(self, rounds) -> None:
+        """Tally one fetched bucket's device work.  Loop iterations are
+        reconstructed from the per-group round deltas: a group that froze
+        by regression/singularity/no-progress ran one body past its last
+        accepted round, so iters = max(delta) + 1 (clipped by the round
+        limit; exact to within one iteration when the slowest group hit
+        its cap on its final body)."""
+        G, S, T, rounds0, limit = self._meta[self._meta_i]
+        self._meta_i += 1
+        delta = np.asarray(rounds, np.int64) - rounds0
+        iters = int(delta.max()) + 1 if delta.size else 0
+        if limit is not None:
+            iters = min(iters, int(limit))
+        self.work_bucket_iters.append(iters)
+        self.work_event_rounds += iters * G * S * T
 
     def _scatter(self, grp, pm_row, st_row, fit_g, rounds_g, final):
         s = self.summaries[grp.read_idx]
@@ -457,6 +483,7 @@ class _EMDriver:
                 left_of[grp.read_idx] = left_of.get(grp.read_idx, 0) + 1
         for (sub, T, _), out_host in zip(self.pending, fetched):
             pm_f, st_f, fit, rounds, frozen = train.fetch_em_result(out_host)
+            self._account(rounds)
             for gi, grp in enumerate(sub):
                 final = bool(frozen[gi]) or self.phase1 is None
                 self._scatter(grp, pm_f[gi], st_f[gi], fit[gi], rounds[gi],
@@ -500,6 +527,7 @@ class _EMDriver:
             for (sub, _), out_host in zip(self.pending2, fetched2):
                 pm_f, st_f, fit, rounds, frozen = train.fetch_em_result(
                     out_host)
+                self._account(rounds)
                 for gi, grp in enumerate(sub):
                     self._scatter(grp, pm_f[gi], st_f[gi], fit[gi],
                                   rounds[gi], final=True)
@@ -645,6 +673,11 @@ def run_pipeline(files, models, cfg: Config, default_transitions=None,
         if not cfg.basecall:
             if driver is not None:
                 driver.finish()
+                if timer is not None:
+                    timer.counters["em_event_rounds"] = \
+                        driver.work_event_rounds
+                    timer.counters["em_bucket_iters"] = \
+                        driver.work_bucket_iters
             return summaries, []
         # overlap mode: decode chunks DISPATCH while phase-2 EM runs, but
         # their FETCHES wait until the phase-2 results are in, so the
@@ -669,6 +702,10 @@ def run_pipeline(files, models, cfg: Config, default_transitions=None,
     with stage("basecalling"):
         winners = dec.finish()
         results = select_and_assemble(winners, summaries, cfg)
+    if timer is not None and driver is not None:
+        # device-work counters for the EM roofline (bench.py --e2e)
+        timer.counters["em_event_rounds"] = driver.work_event_rounds
+        timer.counters["em_bucket_iters"] = driver.work_bucket_iters
     return summaries, results
 
 

@@ -96,6 +96,9 @@ class StageTimer:
 
     def __init__(self):
         self.stages: dict[str, dict] = {}
+        # free-form work counters published by pipeline drivers (e.g. the
+        # EM driver's device event-round count, for roofline accounting)
+        self.counters: dict = {}
 
     @contextlib.contextmanager
     def stage(self, name: str):

@@ -97,6 +97,179 @@ def decode_ops_per_event(n: int) -> dict:
     return {"forward": fwd, "traceback": tb, "total": fwd + tb}
 
 
+# ---------------------------------------------------------------------------
+# EM (training) roofline — the dominant e2e device stage
+# ---------------------------------------------------------------------------
+
+
+def fwbw_grouped_fwd_ops_per_event(n: int) -> dict:
+    """Per (sequence row, event step): ops/hmm.py fwbw_grouped's fwd_step."""
+    items = {
+        # m = max(alpha, axis=-1)
+        "max_alpha": n,
+        # E = exp(alpha - m): sub + exp
+        "exp_shift": 2 * n,
+        # S4 = sum(E.reshape(B, 4, n/4), axis=1): 3 adds per n/4 lane
+        "colsum4": 3 * (n // 4),
+        # S16: 15 adds per n/16 lane
+        "colsum16": 15 * (n // 16),
+        # total = e_stay*E + e_step*(S4 - mH*E) + e_skip*(S16 - mP2*E
+        #         - mS5*S4): 6 muls + 3 subs + 2 adds over n
+        "total_mix": 11 * n,
+        # emissions fused into the step
+        "emission": log_emission_ops(n),
+        # new_alpha = em + m + log(total): log + 2 adds
+        "alpha_new": 3 * n,
+        # where(active, new_alpha, alpha)
+        "active_select": n,
+    }
+    items["total"] = sum(items.values())
+    return items
+
+
+def fwbw_grouped_bwd_ops_per_event(n: int) -> dict:
+    """Per (sequence row, event step): fwbw_grouped's bwd_step (emissions
+    reused from the forward pass, so no emission term)."""
+    items = {
+        "g_add": n,            # g = em_next + beta
+        "max_g": n,
+        "exp_shift": 2 * n,    # G = exp(g - m)
+        "rowsum4": 3 * (n // 4),
+        "rowsum16": 15 * (n // 16),
+        "total_mix": 11 * n,   # same 3-term mix as forward
+        "cand": 2 * n,         # m + log(total)
+        "boundary_select": n,  # where(t >= len-1, 0, cand)
+    }
+    items["total"] = sum(items.values())
+    return items
+
+
+def em_scaling_mstep_ops_per_event(n: int) -> dict:
+    """Per (sequence row, event): train.train_one_round's scaling M-step.
+
+    The (B, n, 6) weight matrix W and the 3x3 solve are O(B*n) / O(G) —
+    amortized over T they contribute <1 op/event and are omitted (noted
+    here, not counted).  The stats einsum is MXU work and reported in a
+    separate field (matmul MACs, not VPU lane ops).
+    """
+    items = {
+        # post = exp(alpha + beta - lpd) * w: 2 adds + exp + mul
+        "posterior": 4 * n,
+        # acc(s0), acc(s0*x), ... ~20 muls/adds on (B, T) scalars
+        "mstep_accumulations": 24,
+    }
+    items["total"] = sum(items.values())
+    return items
+
+
+def em_stats_einsum_macs_per_event(n: int) -> int:
+    """MXU MACs per (sequence row, event): einsum('btn,bnk->btk', post, W)
+    with k=6 sufficient statistics (train.py)."""
+    return 6 * n
+
+
+def em_st_mstep_ops_per_event(n: int) -> dict:
+    """Per (sequence row, event): train._train_st_params (transition
+    M-step), the second-heaviest EM term after the E-step."""
+    items = {
+        "lp_j1": 2 * n,          # a_i + b_i - lpd
+        "g_add": n,              # em[1:] + beta[1:]
+        "lp_stay": 4 * n,        # 3 adds + min clamp
+        "max_g": n,
+        "exp_shift": 2 * n,
+        "blocksum4": 3 * (n // 4),
+        "log_blocks": n // 4,    # log on the (B,Tm,n/4) sums, then tile
+        "lsum4_add": n,          # + safe_m
+        "lp_steps": 3 * n,       # a_i + log_p_step_4 + lsum4 - lpd
+        "logaddexp": 5 * n,      # max + 2 exp + log + add
+        "d01_clamp": n,          # min(.., lp_j1)
+        "skip_mass": 4 * n,      # exp + exp + sub + max(0)
+        "log_d2": n,
+        # _masked_lse(lp_j1 / lp_stay / lp_d2) x 2 strands: each is
+        # where-mask + max-reduce + (sub, exp, sum-reduce) = 5n
+        "masked_lse_reductions": 2 * 3 * 5 * n,
+    }
+    items["total"] = sum(items.values())
+    return items
+
+
+def em_ops_per_event(n: int, train_scaling: bool = True,
+                     train_transitions: bool = True) -> dict:
+    """Total VPU lane-ops per (sequence row, event) for ONE EM round
+    (train.train_one_round): grouped E-step + M-steps.  MXU MACs are
+    returned separately ('mxu_macs') — they run on a different unit."""
+    out = {
+        "fwd": fwbw_grouped_fwd_ops_per_event(n)["total"],
+        "bwd": fwbw_grouped_bwd_ops_per_event(n)["total"],
+    }
+    out["scaling_mstep"] = (
+        em_scaling_mstep_ops_per_event(n)["total"] if train_scaling else 0
+    )
+    out["st_mstep"] = (
+        em_st_mstep_ops_per_event(n)["total"] if train_transitions else 0
+    )
+    out["total"] = sum(out.values())
+    out["mxu_macs"] = em_stats_einsum_macs_per_event(n) if train_scaling else 0
+    return out
+
+
+def em_hbm_bytes_per_event(n: int) -> dict:
+    """Minimum HBM traffic per (sequence row, event) for one EM round.
+
+    Unlike decode (1-byte backpointers), the EM round materializes three
+    full float32 (B, T, n) tensors — alpha, beta, em — because the
+    M-steps re-read them outside the scans.  Counted: the three scan
+    writes, plus one streamed read of each by the consumers XLA cannot
+    fuse into the producing scan (bwd reads em; posterior/stats read
+    alpha+beta; st_mstep re-reads all three — assume perfect fusion
+    WITHIN each consumer pass, so each tensor is re-read once per
+    consumer pass that needs it).  This is a lower bound on traffic and
+    hence an upper bound on the bytes-roofline throughput.
+    """
+    f = 4 * n
+    items = {
+        "alpha_write": f, "beta_write": f, "em_write": f,
+        "em_read_bwd": f,
+        "alpha_read_post": f, "beta_read_post": f,
+        "alpha_read_st": f, "beta_read_st": f, "em_read_st": f,
+    }
+    items["total"] = sum(items.values())
+    return items
+
+
+# v5e HBM bandwidth spec: 819 GB/s (public v5e spec sheet)
+V5E_HBM_BYTES_PER_S = 819e9
+
+
+def em_mfu_report(events_per_round_s: float, n: int,
+                  fma_peak_ops_per_s: float | None = None) -> dict:
+    """Roofline verdict for a measured EM rate (event-rounds/s through
+    train_one_round): achieved VPU ops/s and HBM bytes/s vs their
+    ceilings, and which one binds."""
+    ops = em_ops_per_event(n)
+    bts = em_hbm_bytes_per_event(n)
+    achieved_ops = events_per_round_s * ops["total"]
+    achieved_bytes = events_per_round_s * bts["total"]
+    peak_ops = fma_peak_ops_per_s or V5E_VPU_SPEC_OPS_PER_S
+    out = {
+        "ops_per_event_round": ops,
+        "hbm_bytes_per_event_round": bts["total"],
+        "achieved_vpu_ops_per_s": achieved_ops,
+        "achieved_hbm_bytes_per_s": achieved_bytes,
+        "mfu_vs_fma_peak": achieved_ops / peak_ops,
+        "hbm_utilization_vs_spec": achieved_bytes / V5E_HBM_BYTES_PER_S,
+        # ceiling event-rate implied by each resource: the binding one is
+        # the smaller
+        "ceiling_events_per_s_compute": peak_ops / ops["total"],
+        "ceiling_events_per_s_hbm": V5E_HBM_BYTES_PER_S / bts["total"],
+    }
+    out["binding_resource"] = (
+        "hbm" if out["ceiling_events_per_s_hbm"]
+        < out["ceiling_events_per_s_compute"] else "compute"
+    )
+    return out
+
+
 # v5e TensorCore VPU spec peak: (8, 128) vector lanes x 4 independent ALUs
 # x 2 ops/FMA x 1.67 GHz clock ~= 13.7e12 ops/s.  The lane/ALU geometry is
 # public (jax-ml.github.io/scaling-book); the clock is the commonly cited

@@ -748,6 +748,32 @@ def test_overlapped_pipeline_matches_staged(sim_dir, models):
         assert snap_staged[1] == snap_over[1], overlap
 
 
+def test_em_work_counters(sim_dir, models):
+    """run_pipeline publishes the EM driver's device-work accounting
+    (event-rounds through train_one_round) on the timer — the numbers the
+    EM roofline (bench.py --e2e / roofline.em_mfu_report) consumes.  The
+    iteration estimate must be consistent with the per-read round counts
+    reported in scaling_result lines (iters >= max accepted rounds in
+    every bucket)."""
+    from nanocall_tpu.observe import StageTimer
+
+    d, _ = sim_dir
+    files = read_pipeline.init_files([str(d)])
+    cfg = Config(pore="r73").apply_pore_preset()
+    timer = StageTimer()
+    summaries, results = basecall.run_pipeline(files, models, cfg,
+                                               timer=timer)
+    assert results
+    iters = timer.counters["em_bucket_iters"]
+    assert iters and all(i >= 1 for i in iters)
+    er = timer.counters["em_event_rounds"]
+    # every bucket is at least G=1 x S=4 x T=128 per iteration at the
+    # default scaling_num_events=200 (T buckets at >= 128)
+    assert er >= sum(iters) * 4 * 128
+    # iters upper-bounded by the per-candidate cap (+1 freeze body)
+    assert max(iters) <= 2 * cfg.scaling_max_rounds + 1
+
+
 def test_overlapped_pipeline_no_train(sim_dir, models):
     """run_pipeline with train=False equals the staged no-train flow."""
     d, _ = sim_dir
