@@ -351,10 +351,13 @@ def measure_em(G: int = 128, S: int = 4, T: int = 128, rounds: int = 8,
     fma_peak = None
     if with_mfu:
         # op-count-matched FMA chain at the E-step's own scan shape
-        # ((G*S, n) carry, T steps)
+        # ((G*S, n) carry, T steps x rounds to give the chain enough work;
+        # reduce_out: a scalar fetch, not the 8 MB carry, which at T=128
+        # would swamp the measurement through the relay)
         k = max(8, round(
             roofline.fwbw_grouped_fwd_ops_per_event(n)["total"] / (2 * n)))
-        fma_peak, _ = roofline.measure_fma_peak(G * S, n, T=T, k=k, n_iter=2)
+        fma_peak, _ = roofline.measure_fma_peak(
+            G * S, n, T=T * rounds, k=k, n_iter=2, reduce_out=True)
         res["fma_peak_teraops"] = round(fma_peak / 1e12, 2)
     rep = roofline.em_mfu_report(ev_per_round_s, n,
                                  fma_peak_ops_per_s=fma_peak)

@@ -706,6 +706,72 @@ def make_grouped_full_device(p_stay, p_skip, K: int = 6) -> GroupedTransFull:
     )
 
 
+def fwbw_grouped_forward(gtf: GroupedTransFull, model: ModelArrays, ev: dict,
+                         unroll: int = 1):
+    """The forward half of fwbw_grouped, in scan-natural (T, B, n) layout.
+
+    Returns (alphas (T, B, n), ems (T, B, n), log_pr_data (B,)).  Exposed
+    separately so the fused EM round (train._fused_bwd_mstats) can stream
+    the backward pass + M-step statistics without materializing beta/em
+    or paying the (T, B, n) -> (B, T, n) layout transposes; callers that
+    ignore `ems` get it DCE'd out of the scan by jax.
+    """
+    from .. import transitions as tm
+
+    n = model.level_mean.shape[-1]
+    log_n = jnp.float32(math.log(n))
+    lengths = ev["length"]
+    B, T = ev["mean"].shape
+    masks = tm.grouped_correction_masks(gtf.K)
+    mH = jnp.asarray(masks["H"])
+    mP2 = jnp.asarray(masks["P2mH"])
+    mS5 = jnp.asarray(masks["S5"])
+    n4, n16 = n // 4, n // 16
+
+    e_stay = jnp.exp(gtf.stay_lp)
+    e_step = jnp.exp(gtf.step_lp)
+    e_skip = jnp.exp(gtf.skip_lp)
+
+    def rep(x, r):
+        return jnp.broadcast_to(x[:, :, None], (B, x.shape[1], r)).reshape(B, n)
+
+    means = jnp.moveaxis(ev["mean"], 1, 0)
+    stdvs = jnp.moveaxis(ev["stdv"], 1, 0)
+    log_stdvs = jnp.moveaxis(ev["log_stdv"], 1, 0)
+
+    em0 = log_emission(model, means[0], stdvs[0], log_stdvs[0])
+    alpha0 = em0 - log_n
+
+    def fwd_step(alpha, x):
+        mean_t, stdv_t, log_stdv_t, t = x
+        m = jnp.max(alpha, axis=-1, keepdims=True)
+        E = jnp.exp(alpha - m)
+        S4 = rep(jnp.sum(E.reshape(B, 4, n4), axis=1), 4)
+        S16 = rep(jnp.sum(E.reshape(B, 16, n16), axis=1), 16)
+        total = (
+            e_stay * E
+            + e_step * (S4 - mH * E)
+            + e_skip * (S16 - mP2 * E - mS5 * S4)
+        )
+        em = log_emission(model, mean_t, stdv_t, log_stdv_t)
+        new_alpha = em + m + jnp.log(total)
+        active = (t < lengths)[:, None]
+        alpha_carry = jnp.where(active, new_alpha, alpha)
+        return alpha_carry, (alpha_carry, em)
+
+    xs = (means[1:], stdvs[1:], log_stdvs[1:], jnp.arange(1, T))
+    final_alpha, (alphas_rest, ems_rest) = jax.lax.scan(
+        fwd_step, alpha0, xs, unroll=unroll)
+    alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)
+    ems = jnp.concatenate([em0[None], ems_rest], axis=0)
+
+    mfin = jnp.max(final_alpha, axis=-1)
+    log_pr_data = mfin + jnp.log(
+        jnp.sum(jnp.exp(final_alpha - mfin[:, None]), axis=-1)
+    )
+    return alphas, ems, log_pr_data
+
+
 def fwbw_grouped(gtf: GroupedTransFull, model: ModelArrays, ev: dict,
                  keep_emissions: bool = False, unroll: int = 1):
     """Exact forward-backward via the grouped decomposition.
@@ -744,42 +810,12 @@ def fwbw_grouped(gtf: GroupedTransFull, model: ModelArrays, ev: dict,
     mS5T = jnp.asarray(masks["S5T"])
 
     e_stay = jnp.exp(gtf.stay_lp)
-    e_step = jnp.exp(gtf.step_lp)
-    e_skip = jnp.exp(gtf.skip_lp)
     e_step_to = jnp.exp(gtf.step_to_lp)
     e_skip_to = jnp.exp(gtf.skip_to_lp)
-
-    def rep(x, r):  # (B, n/r) -> (B, n): value at j = x[j >> log4(r)]
-        return jnp.broadcast_to(x[:, :, None], (B, x.shape[1], r)).reshape(B, n)
 
     def tile(x, r):  # (B, n/r) -> (B, n): value at i = x[i mod (n/r)]
         return jnp.broadcast_to(x[:, None, :], (B, r, x.shape[1])).reshape(B, n)
 
-    means = jnp.moveaxis(ev["mean"], 1, 0)
-    stdvs = jnp.moveaxis(ev["stdv"], 1, 0)
-    log_stdvs = jnp.moveaxis(ev["log_stdv"], 1, 0)
-
-    em0 = log_emission(model, means[0], stdvs[0], log_stdvs[0])
-    alpha0 = em0 - log_n
-
-    def fwd_step(alpha, x):
-        mean_t, stdv_t, log_stdv_t, t = x
-        m = jnp.max(alpha, axis=-1, keepdims=True)
-        E = jnp.exp(alpha - m)
-        S4 = rep(jnp.sum(E.reshape(B, 4, n4), axis=1), 4)
-        S16 = rep(jnp.sum(E.reshape(B, 16, n16), axis=1), 16)
-        total = (
-            e_stay * E
-            + e_step * (S4 - mH * E)
-            + e_skip * (S16 - mP2 * E - mS5 * S4)
-        )
-        em = log_emission(model, mean_t, stdv_t, log_stdv_t)
-        new_alpha = em + m + jnp.log(total)
-        active = (t < lengths)[:, None]
-        alpha_carry = jnp.where(active, new_alpha, alpha)
-        return alpha_carry, (alpha_carry, em)
-
-    xs = (means[1:], stdvs[1:], log_stdvs[1:], jnp.arange(1, T))
     # unroll measured a wash here (31.5/33.2/31.3 ms at u=1/2/4, B=256
     # T=128: the exp/log-heavy body is compute-bound, unlike the Viterbi
     # forward), and on TPU the unrolled program's fusion reassociates the
@@ -787,15 +823,8 @@ def fwbw_grouped(gtf: GroupedTransFull, model: ModelArrays, ev: dict,
     # measured) — default 1 keeps results bit-stable AND the program small.
     # (Viterbi's max-plus scan has no such drift: path equality across
     # unroll variants is hardware-verified in tools/exp_decode.py.)
-    final_alpha, (alphas_rest, ems_rest) = jax.lax.scan(
-        fwd_step, alpha0, xs, unroll=unroll)
-    alphas = jnp.concatenate([alpha0[None], alphas_rest], axis=0)
-    ems = jnp.concatenate([em0[None], ems_rest], axis=0)
-
-    mfin = jnp.max(final_alpha, axis=-1)
-    log_pr_data = mfin + jnp.log(
-        jnp.sum(jnp.exp(final_alpha - mfin[:, None]), axis=-1)
-    )
+    alphas, ems, log_pr_data = fwbw_grouped_forward(gtf, model, ev,
+                                                    unroll=unroll)
 
     beta_init = jnp.zeros((B, n), dtype=jnp.float32)
 

@@ -278,7 +278,8 @@ def em_mfu_report(events_per_round_s: float, n: int,
 V5E_VPU_SPEC_OPS_PER_S = 8 * 128 * 4 * 2 * 1.67e9
 
 
-def measure_fma_peak(B: int, n: int, T: int, k: int = 24, n_iter: int = 4):
+def measure_fma_peak(B: int, n: int, T: int, k: int = 24, n_iter: int = 4,
+                     reduce_out: bool = False):
     """Measured elementwise speed-of-light at the recursion's own shape: a
     lax.scan of T steps, each a chain of k dependent FMAs over a (B, n)
     float32 carry — the same program structure (sequential scan over T,
@@ -295,27 +296,34 @@ def measure_fma_peak(B: int, n: int, T: int, k: int = 24, n_iter: int = 4):
 
     XLA does not reassociate float FMA chains (not IEEE-safe), so the k
     multiply-adds cannot be algebraically collapsed.
+
+    reduce_out=True returns jnp.sum(x) from the jitted chain (the sum
+    depends on every element, so the chain cannot be elided) and fetches
+    a scalar instead of the (B, n) carry — REQUIRED for short-T chains
+    through the relay, where a multi-MB result fetch would swamp the
+    compute being measured (a T=128 chain at (512, 4096) measured a
+    nonsense 0.06 Tops/s through an 8 MB fetch).
     """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    @functools.partial(jax.jit, static_argnames=("T", "k"))
-    def chain(x, c, d, T: int, k: int):
+    @functools.partial(jax.jit, static_argnames=("T", "k", "reduce_out"))
+    def chain(x, c, d, T: int, k: int, reduce_out: bool):
         def step(x, _):
             for _ in range(k):
                 x = x * c + d
             return x, None
         x, _ = jax.lax.scan(step, x, None, length=T)
-        return x
+        return jnp.sum(x) if reduce_out else x
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(0.9, 1.1, (B, n)).astype(np.float32))
     c = jnp.asarray(np.float32(0.9999))
     d = jnp.asarray(np.float32(1e-4))
-    np.asarray(chain(x, c, d, T, k))  # compile + warm
+    np.asarray(chain(x, c, d, T, k, reduce_out))  # compile + warm
     t0 = time.time()
-    outs = [chain(x, c, d, T, k) for _ in range(n_iter)]
+    outs = [chain(x, c, d, T, k, reduce_out) for _ in range(n_iter)]
     # one fetch of the LAST output syncs the whole in-order stream
     # (block_until_ready does not synchronize on this backend, and a
     # per-iteration fetch would add a 2 MB relay round trip to every

@@ -43,6 +43,12 @@ PIVOT_EPS = 1e-7  # Parameter_Trainer.hpp:355
 ST_CLAMP_LO = 0.05  # Parameter_Trainer.hpp:518-525
 ST_CLAMP_HI = 0.4
 
+# test hook: force the legacy materialize-then-reduce EM round (the code
+# path --trans runs use) so tests can pin fused-vs-legacy agreement.
+# Read at TRACE time — only meaningful with train_one_round.__wrapped__
+# (the jit cache does not key on it).
+_FORCE_LEGACY = False
+
 
 @functools.lru_cache(maxsize=None)
 def st_train_kmers(K: int) -> np.ndarray:
@@ -130,6 +136,152 @@ def _masked_lse(x, mask, axes):
     safe = jnp.where(jnp.isfinite(m), m, 0.0)
     s = jnp.sum(jnp.exp(x - jnp.expand_dims(safe, axes)), axis=axes)
     return jnp.where(jnp.isfinite(m), safe + jnp.log(s), m)
+
+
+def _fused_bwd_mstats(gtf, model, ev, lpd, alphas, W, x_unc, t_start,
+                      valid, subset, p_stay_seq, p_skip_seq,
+                      train_scaling: bool, train_transitions: bool):
+    """Backward pass + BOTH M-steps' sufficient statistics as ONE
+    streaming reverse scan — the tpu-first EM round.
+
+    The legacy formulation materialized alpha, beta and em as (B, T, n)
+    float32 tensors (3 x 1.07 GB at the production training shape), paid
+    a (T, B, n) -> (B, T, n) layout transpose on each, then re-read them
+    in the M-steps — measured 80 ms/round of which the scans themselves
+    were ~12 ms (tools/exp_em_breakdown2.py).  Here the reverse scan
+    carries beta (never materialized), recomputes the t+1 emission on the
+    fly (17n ops/event is cheaper than 8n bytes of HBM), and accumulates
+
+      - the scaling M-step's weighted-least-squares moments
+        (Parameter_Trainer.hpp:265-321): per-step posterior x state-
+        weight contractions s0..s2/l0..l2 folded against x/t/y into 14
+        per-sequence scalars, and
+      - the transition M-step's three masked log-sum-exp totals
+        (Parameter_Trainer.hpp:434-517): per-step lse over the training
+        subset, folded into running log-space accumulators (associative
+        reassociation of the same summands as _train_st_params).
+
+    HBM traffic per event drops from ~36n bytes (9 tensor passes) to ~8n
+    (alpha write + read).  Results differ from the legacy path only by
+    float reassociation; tests/test_train.py::test_fused_round_matches_
+    legacy pins the agreement.
+
+    Returns (scal: dict of (B,) moments, st: dict of (B,) log totals).
+    """
+    B, T = ev["mean"].shape
+    n = model.level_mean.shape[-1]
+    n4 = n // 4
+    masks = transitions.grouped_correction_masks(gtf.K)
+    mH = jnp.asarray(masks["H"])
+    mP2 = jnp.asarray(masks["P2mH"])
+    mS5T = jnp.asarray(masks["S5T"])
+    e_stay = jnp.exp(gtf.stay_lp)
+    e_step_to = jnp.exp(gtf.step_to_lp)
+    e_skip_to = jnp.exp(gtf.skip_to_lp)
+    lengths = ev["length"]
+    lpd_c = lpd[:, None]
+    valid_c = valid[:, None]
+
+    def tile(x, r):
+        return jnp.broadcast_to(x[:, None, :], (B, r, x.shape[1])).reshape(B, n)
+
+    # per-sequence transition log-rates (constant over steps)
+    log_p_stay = jnp.log(p_stay_seq)[:, None]
+    log_p_step4 = (jnp.log(1.0 - p_stay_seq - p_skip_seq)
+                   - jnp.log(4.0))[:, None]
+
+    means = jnp.moveaxis(ev["mean"], 1, 0)
+    stdvs = jnp.moveaxis(ev["stdv"], 1, 0)
+    log_stdvs = jnp.moveaxis(ev["log_stdv"], 1, 0)
+    xs_u = jnp.moveaxis(x_unc, 1, 0)
+    ts_u = jnp.moveaxis(t_start, 1, 0)
+    ys_u = jnp.moveaxis(ev["stdv"], 1, 0)
+
+    def post_stats(alpha_t, beta_t, x_t, ts_t, y_t, t):
+        """Scaling-M-step contributions of event t (hpp:265-296)."""
+        w_t = ((t < lengths) & valid)[:, None]
+        post = jnp.exp(alpha_t + beta_t - lpd_c) * w_t
+        # per-k VPU reductions, NOT einsum('bn,bnk->bk'): the batched
+        # mat-vec lowers to 512 separate (1, n) x (n, 6) MXU products —
+        # measured slower in-scan than six broadcast-mul + sum trees
+        st6 = jnp.sum(post[:, :, None] * W, axis=1)  # (B, 6)
+        s0, s1, s2 = st6[:, 0], st6[:, 1], st6[:, 2]
+        l0, l1, l2 = st6[:, 3], st6[:, 4], st6[:, 5]
+        cnt = w_t[:, 0].astype(jnp.float32)
+        return jnp.stack([
+            s0, s1, s2,                      # A00, A01, A11
+            s0 * ts_t, s1 * ts_t,            # A02, A12
+            s0 * ts_t * ts_t,                # A22
+            s0 * x_t, s1 * x_t,              # B0, B1
+            s0 * x_t * ts_t,                 # B2
+            s0 * x_t * x_t,                  # D
+            l2 * y_t, l1,                    # Vn, Vd
+            l0 / y_t,                        # Up
+            cnt,                             # Ne
+        ], axis=-1)  # (B, 14)
+
+    def step_lse(v, w_tr):
+        vm = jnp.where(w_tr, v, -jnp.inf)
+        m = jnp.max(vm, axis=-1)
+        safe = jnp.where(jnp.isfinite(m), m, 0.0)
+        s = jnp.sum(jnp.exp(vm - safe[:, None]), axis=-1)
+        return jnp.where(jnp.isfinite(m), safe + jnp.log(s), m)
+
+    # t = T-1 contributions (beta = 0; no outgoing transition)
+    beta_init = jnp.zeros((B, n), jnp.float32)
+    scal0 = (post_stats(alphas[T - 1], beta_init, xs_u[T - 1], ts_u[T - 1],
+                        ys_u[T - 1], T - 1)
+             if train_scaling else jnp.zeros((B, 14), jnp.float32))
+    st0 = jnp.full((B, 3), -jnp.inf, jnp.float32)
+
+    def bwd_step(carry, x):
+        beta_next, scal, st3 = carry
+        alpha_t, mean_n, stdv_n, log_stdv_n, x_t, ts_t, y_t, t = x
+        em_next = hmm.log_emission(model, mean_n, stdv_n, log_stdv_n)
+        g = em_next + beta_next
+        m = jnp.max(g, axis=-1, keepdims=True)
+        G = jnp.exp(g - m)
+        T4 = tile(jnp.sum(G.reshape(B, n4, 4), axis=-1), 4)
+        T16 = tile(jnp.sum(G.reshape(B, n // 16, 16), axis=-1), 16)
+        total = (
+            e_stay * G
+            + e_step_to * (T4 - mH * G)
+            + e_skip_to * (T16 - mP2 * G - mS5T * T4)
+        )
+        cand = m + jnp.log(total)
+        beta_t = jnp.where((t >= lengths - 1)[:, None], 0.0, cand)
+
+        if train_scaling:
+            scal = scal + post_stats(alpha_t, beta_t, x_t, ts_t, y_t, t)
+        if train_transitions:
+            # transition i = t (hpp:479-512); g/m reused from the beta
+            # recursion (same quantities _train_st_params recomputes)
+            lp_j1 = alpha_t + beta_t - lpd_c
+            lp_stay = jnp.minimum(alpha_t + log_p_stay + g - lpd_c, lp_j1)
+            safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
+            eg4 = jnp.exp(g - safe_m).reshape(B, n4, 4).sum(axis=-1)
+            lsum4 = safe_m + jnp.tile(jnp.log(eg4), (1, 4))
+            lp_steps = alpha_t + log_p_step4 + lsum4 - lpd_c
+            lp_d01 = jnp.minimum(jnp.logaddexp(lp_stay, lp_steps), lp_j1)
+            p_d2 = jnp.maximum(jnp.exp(lp_j1) - jnp.exp(lp_d01), 0.0)
+            lp_d2 = jnp.log(p_d2)
+            w_tr = ((t < lengths - 1)[:, None] & valid_c) & subset[None, :]
+            part = jnp.stack([step_lse(lp_j1, w_tr),
+                              step_lse(lp_stay, w_tr),
+                              step_lse(lp_d2, w_tr)], axis=-1)
+            st3 = jnp.logaddexp(st3, part)
+        return (beta_t, scal, st3), None
+
+    xs = (alphas[: T - 1], means[1:], stdvs[1:], log_stdvs[1:],
+          xs_u[: T - 1], ts_u[: T - 1], ys_u[: T - 1],
+          jnp.arange(T - 1))
+    (final_beta, scal, st3), _ = jax.lax.scan(
+        bwd_step, (beta_init, scal0, st0), xs, reverse=True)
+    del final_beta
+    names = ("A00", "A01", "A11", "A02", "A12", "A22", "B0", "B1", "B2",
+             "D", "Vn", "Vd", "Up", "Ne")
+    return ({k: scal[:, i] for i, k in enumerate(names)},
+            {"denom": st3[:, 0], "stay": st3[:, 1], "skip": st3[:, 2]})
 
 
 @functools.partial(
@@ -246,6 +398,134 @@ def train_one_round(
     )
 
     # --- E-step
+    # Fused streaming round (default): forward scan materializes only the
+    # alphas in scan-natural (T, B, n) layout; ONE reverse scan then
+    # computes beta on the fly, recomputes the t+1 emission, and folds
+    # both M-steps' sufficient statistics into per-sequence scalars —
+    # ~36n -> ~8n HBM bytes/event vs the legacy materialize-then-reduce
+    # formulation (see _fused_bwd_mstats).  The legacy path remains for
+    # --trans runs (default_ops), whose generic-kernel E-step selection
+    # needs the materialized tensors.
+    use_fused = (default_ops is None and not _FORCE_LEGACY
+                 and (train_scaling or train_transitions))
+    if use_fused:
+        alphas_t, _, lpd = hmm.fwbw_grouped_forward(gtf, model_flat, ev_flat)
+        valid = ev["valid"].reshape(B)
+        strand_b = strand.reshape(B)
+        if train_scaling:
+            lm_u, ls_u, sm_u, slam_u = (
+                sel(models["level_mean"]).reshape(B, n),
+                sel(models["level_stdv"]).reshape(B, n),
+                sel(models["sd_mean"]).reshape(B, n),
+                sel(models["sd_lambda"]).reshape(B, n),
+            )
+            w_s0 = 1.0 / (ls_u * ls_u)
+            w_s1 = w_s0 * lm_u
+            w_s2 = w_s1 * lm_u
+            w_l0 = slam_u
+            w_l1 = w_l0 / sm_u
+            w_l2 = w_l1 / sm_u
+            W = jnp.stack([w_s0, w_s1, w_s2, w_l0, w_l1, w_l2], axis=-1)
+        else:
+            W = jnp.zeros((B, n, 6), jnp.float32)
+        p_stay_seq = jnp.take_along_axis(
+            st_params[..., 0], strand, axis=1).reshape(B)
+        p_skip_seq = jnp.take_along_axis(
+            st_params[..., 1], strand, axis=1).reshape(B)
+        scal, st3 = _fused_bwd_mstats(
+            gtf, model_flat, ev_flat, lpd, alphas_t, W,
+            ev["mean"].reshape(B, T), ev["start"].reshape(B, T),
+            valid, jnp.asarray(st_train_mask(K)) > 0,
+            p_stay_seq, p_skip_seq, train_scaling, train_transitions,
+        )
+        fit = jnp.sum(jnp.where(ev["valid"], lpd.reshape(G, S), 0.0), axis=1)
+        out = {"fit": fit}
+
+        def acc_b(v):  # per-seq (B,) -> per-group sums
+            return jnp.sum(v.reshape(G, S), axis=1)
+
+        if train_scaling:
+            A00, A01, A11 = acc_b(scal["A00"]), acc_b(scal["A01"]), acc_b(scal["A11"])
+            B0, B1 = acc_b(scal["B0"]), acc_b(scal["B1"])
+            if train_drift:
+                A02, A12 = acc_b(scal["A02"]), acc_b(scal["A12"])
+                A22 = acc_b(scal["A22"])
+                B2 = acc_b(scal["B2"])
+            else:
+                Z = jnp.zeros_like(A00)
+                A02, A12, B2 = Z, Z, Z
+                A22 = jnp.ones_like(A00)  # hpp:318-321
+            D = acc_b(scal["D"])
+            V_numer, V_denom = acc_b(scal["Vn"]), acc_b(scal["Vd"])
+            U_pos = acc_b(scal["Up"])
+            n_events_tot = acc_b(scal["Ne"])
+            A = jnp.stack(
+                [
+                    jnp.stack([A00, A01, A02], axis=-1),
+                    jnp.stack([A01, A11, A12], axis=-1),
+                    jnp.stack([A02, A12, A22], axis=-1),
+                ],
+                axis=-2,
+            )
+            Bv = jnp.stack([B0, B1, B2], axis=-1)
+            x_hat, done = _solve3_pivoted(A, Bv, train_drift)
+            a_hat, b_hat, c_hat = x_hat[:, 0], x_hat[:, 1], x_hat[:, 2]
+            d_numer = (
+                D
+                + a_hat**2 * A00
+                + b_hat**2 * A11
+                + c_hat**2 * A22
+                + 2.0 * a_hat * b_hat * A01
+                + 2.0 * a_hat * c_hat * A02
+                + 2.0 * b_hat * c_hat * A12
+                - 2.0 * (a_hat * B0 + b_hat * B1 + c_hat * B2)
+            )
+            d_hat = jnp.sqrt(jnp.maximum(d_numer, 0.0) / n_events_tot)
+            v_hat = V_numer / V_denom
+            u_hat = n_events_tot / (U_pos - V_denom / v_hat)
+            new_pm = jnp.stack([b_hat, a_hat, c_hat, d_hat, v_hat, u_hat],
+                               axis=-1)
+            bad = (
+                ~jnp.isfinite(new_pm).all(axis=-1)
+                | (d_hat <= 0.0)
+                | (u_hat <= 0.0)
+            )
+            done = done | bad
+            new_pm = jnp.where(done[:, None], pm_params, new_pm)
+            out["new_pm_params"] = new_pm
+            out["done"] = done
+        else:
+            out["new_pm_params"] = pm_params
+            out["done"] = jnp.zeros(G, dtype=bool)
+
+        if train_transitions:
+            new_st = []
+            for st in (0, 1):
+                seq_mask = (strand_b == st).reshape(G, S)
+
+                def red_g(v):
+                    return _masked_lse(v.reshape(G, S), seq_mask, (1,))
+
+                denom = red_g(st3["denom"])
+                num_stay = red_g(st3["stay"])
+                num_skip = red_g(st3["skip"])
+                p_stay_new = jnp.clip(jnp.exp(num_stay - denom),
+                                      ST_CLAMP_LO, ST_CLAMP_HI)
+                p_skip_new = jnp.clip(jnp.exp(num_skip - denom),
+                                      ST_CLAMP_LO, ST_CLAMP_HI)
+                has_seqs = jnp.any(
+                    (strand == st) & ev["valid"] & (ev["length"] > 1), axis=1
+                )
+                p_stay_new = jnp.where(has_seqs, p_stay_new,
+                                       st_params[:, st, 0])
+                p_skip_new = jnp.where(has_seqs, p_skip_new,
+                                       st_params[:, st, 1])
+                new_st.append(jnp.stack([p_stay_new, p_skip_new], axis=-1))
+            out["new_st_params"] = jnp.stack(new_st, axis=1)
+        else:
+            out["new_st_params"] = st_params
+        return out
+
     fb = hmm.fwbw_grouped(gtf, model_flat, ev_flat, keep_emissions=True)
     alpha, beta, em = fb["alpha"], fb["beta"], fb["em"]  # (B, T, n)
     lpd = fb["log_pr_data"]  # (B,)

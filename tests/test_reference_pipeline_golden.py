@@ -533,6 +533,121 @@ def test_fuzz_untrained_fasta_identical(ref_nanocall, tmp_path, models, seed,
         assert_stats_match(ref_stats, my_stats, float_rtol=5e-3)
 
 
+@pytest.mark.parametrize("seed,pore", [
+    (11, "r73"), (22, "r73"), (33, "r73"), (44, "r73"),
+    (55, "r73"), (66, "r73"), (77, "r73"), (88, "r73"),
+    (111, "r9"), (222, "r9"), (333, "r9"), (444, "r9"),
+    (555, "r9"), (666, "r9"), (777, "r9"), (888, "r9"),
+])
+def test_fuzz_trained_fasta(ref_nanocall, tmp_path, models, seed, pore):
+    """Randomized FULL-EM differential fuzz vs the reference binary
+    (Parameter_Trainer.hpp:230-532 + the stopping rules nanocall.cpp:
+    367-426 — the most fp-sensitive surface).  Each seed randomizes the
+    generative truth (scale/shift/drift off-identity, stay/skip rates,
+    noise), the dataset shape (1D + 2-strand reads, lengths), and the
+    training config (--scaling-num-events, single- vs double-strand
+    scaling, round budget).
+
+    Two contracts, mirroring test_full_pipeline_trained_fasta's proven
+    standard:
+      1. FIXED ROUNDS (--scaling-min-progress 0, fixed --scaling-max-
+         rounds): the stopping edge is disabled, the EM math itself must
+         be byte-identical end to end (FASTA equality) with tight stats.
+      2. FREE STOPPING (default min-progress): one side may legitimately
+         stop an EM round earlier when the per-round fit delta straddles
+         the threshold; require per-record identity > 0.97 and loose
+         stats agreement.
+
+    DIVERGENCE CLASS FOUND BY THIS FUZZ (round 5, seed 111/r9 at
+    --scaling-max-rounds 8): the fit-REGRESSION stop (strict
+    `fit < fit_prev`, nanocall.cpp:400-416) is fp-unstable once EM
+    converges to within one float32 ulp per round.  Measured trajectory
+    for the ft2 joint candidate: per-round fit deltas +11.3, +2.5, ...,
+    +0.0071 (round 11), then -0.000977 at round 12 — EXACTLY one ulp of
+    float32 at |fit| ~ 1932 (2^-10).  Our tree-summed f32 fit dipped one
+    ulp and froze at rounds=11; the reference's read-order f32 sum did
+    not and ran to the cap (16), ending 0.046 apart in shift.  FASTA was
+    STILL byte-identical (decode is robust at this param distance); only
+    stats differed.  The reference would disagree with itself the same
+    way under a different summation order, so this is not fixable — the
+    fuzz instead draws round budgets ({3, 5}) shallow enough that the
+    freeze-point delta stays tens of ulps above zero, keeping contract
+    1's byte-identity + tight-stats teeth; the deep-convergence regime
+    is covered by contract 2's identity bound.
+    """
+    if pore == "r9":
+        models = load_builtin_models("r9")
+        tmpl, comp = "r9.t.007", "r9.c.p1.007"
+        hp_lo, hp_hi = 140.0, 160.0
+    else:
+        tmpl, comp = "r73.t.006", "r73.c.p1.006"
+        hp_lo, hp_hi = 100.0, 120.0
+    from nanocall_tpu.pore_model import PoreModelParams
+
+    rng = np.random.default_rng(seed)
+    true_params = PoreModelParams(
+        scale=float(rng.uniform(0.9, 1.1)),
+        shift=float(rng.uniform(-1.0, 1.0)),
+        drift=float(rng.uniform(-0.01, 0.01)) if pore == "r73" else 0.0,
+        var=float(rng.uniform(0.9, 1.15)),
+    )
+    f5 = tmp_path / "fast5"
+    txt = tmp_path / "f5txt"
+    f5.mkdir()
+    txt.mkdir()
+    simulate.write_sim_fast5(
+        f5 / "ft1.fast5", models, tmpl, None,
+        int(rng.integers(150, 300)), rng, read_id="ft1",
+        params=true_params,
+        p_stay=float(rng.uniform(0.05, 0.15)),
+        p_skip=float(rng.uniform(0.2, 0.4)),
+        noise_scale=float(rng.uniform(0.4, 0.8)),
+    )
+    simulate.write_sim_fast5(
+        f5 / "ft2.fast5", models, tmpl, comp,
+        int(rng.integers(350, 600)), rng, read_id="ft2",
+        params=true_params,
+        abasic_level=float(rng.uniform(hp_lo, hp_hi)),
+        p_stay=float(rng.uniform(0.05, 0.15)),
+        p_skip=float(rng.uniform(0.2, 0.4)),
+        noise_scale=float(rng.uniform(0.4, 0.8)),
+    )
+    names = ["ft1.fast5", "ft2.fast5"]
+    for nm in names:
+        ref_tools.export_f5txt(str(f5 / nm), str(txt / nm))
+    f5s = [str(f5 / nm) for nm in names]
+    txts = [str(txt / nm) for nm in names]
+
+    common = ["--pore", pore,
+              "--scaling-num-events", str(int(rng.choice([120, 200])))]
+    if rng.random() < 0.3:
+        common.append("--single-strand-scaling")
+
+    # contract 1: fixed-round budget -> byte-identical
+    fixed = [*common, "--scaling-min-progress", "0",
+             "--scaling-max-rounds", str(int(rng.choice([3, 5])))]
+    ref_fa, ref_stats = run_ref(ref_nanocall, txts, tmp_path,
+                                f"ftfix{seed}", *fixed)
+    my_fa, my_stats = run_ours(f5s, tmp_path, f"ftfix{seed}", *fixed)
+    assert ref_fa == my_fa, ("fixed-round EM diverged", seed, pore, fixed)
+    assert_stats_match(ref_stats, my_stats, float_rtol=0.02)
+
+    # contract 2: free stopping -> near-identity, loose stats
+    ref_fa2, ref_stats2 = run_ref(ref_nanocall, txts, tmp_path,
+                                  f"ftfree{seed}", *common)
+    my_fa2, my_stats2 = run_ours(f5s, tmp_path, f"ftfree{seed}", *common)
+    if ref_fa2 == my_fa2:
+        assert_stats_match(ref_stats2, my_stats2, float_rtol=0.02)
+    else:
+        r = ref_tools.parse_fasta(ref_fa2)
+        m = ref_tools.parse_fasta(my_fa2)
+        assert sorted(r) == sorted(m), (seed, pore)
+        idents = {k: simulate.identity(r[k], m[k]) for k in r}
+        assert min(idents.values()) > 0.97, (idents, seed, pore)
+        assert_stats_match(ref_stats2, my_stats2, float_rtol=0.05,
+                           float_atol=0.1)
+
+
 def test_write_fast5_golden(ref_nanocall, datasets, tmp_path):
     """--write-fast5: the reference's written-back basecall groups —
     captured as text sidecars by the shimmed fast5::File (which cannot do
