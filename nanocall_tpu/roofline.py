@@ -237,17 +237,70 @@ def em_hbm_bytes_per_event(n: int) -> dict:
     return items
 
 
+def em_fused_bwd_ops_per_event(n: int) -> dict:
+    """Per (sequence row, event): the FUSED reverse scan
+    (train._fused_bwd_mstats bwd_step) — beta recursion + recomputed
+    emission + posterior + both M-steps' statistics, probability space."""
+    items = {
+        "g_add": n,
+        "max_g": n,
+        "exp_shift": 2 * n,
+        "rowsum4": 3 * (n // 4),
+        "rowsum16": 15 * (n // 16),
+        "total_mix": 11 * n,
+        "cand": 2 * n,
+        "boundary_select": n,
+        # emission recomputed at t+1 (cheaper than reading a stored em)
+        "emission": log_emission_ops(n),
+        # exp_lp = exp(alpha + beta - lpd): 2 adds + exp
+        "posterior": 3 * n,
+        # scaling stats: post*w mul + six mul+sum reductions + scalars
+        "scal_stats": 13 * n + 30,
+        # st stats: base exp(a+m-lpd) 3n, stay 3n, steps 2n, d01 2n,
+        # skip 2n, three masked sums 6n
+        "st_stats": 18 * n,
+    }
+    items["total"] = sum(items.values())
+    return items
+
+
+def em_fused_ops_per_event(n: int) -> dict:
+    """Total VPU lane-ops per (sequence row, event) for one FUSED EM
+    round (the production default path since round 5)."""
+    out = {
+        "fwd": fwbw_grouped_fwd_ops_per_event(n)["total"],
+        "bwd_fused": em_fused_bwd_ops_per_event(n)["total"],
+    }
+    out["total"] = sum(out.values())
+    out["mxu_macs"] = 0  # the batched mat-vec was replaced by VPU sums
+    return out
+
+
+def em_fused_hbm_bytes_per_event(n: int) -> dict:
+    """HBM traffic per (sequence row, event) for one FUSED round: only
+    the alphas are materialized (scan-natural layout, written by the
+    forward scan, streamed by the reverse scan)."""
+    f = 4 * n
+    items = {"alpha_write": f, "alpha_read_bwd": f}
+    items["total"] = sum(items.values())
+    return items
+
+
 # v5e HBM bandwidth spec: 819 GB/s (public v5e spec sheet)
 V5E_HBM_BYTES_PER_S = 819e9
 
 
 def em_mfu_report(events_per_round_s: float, n: int,
-                  fma_peak_ops_per_s: float | None = None) -> dict:
+                  fma_peak_ops_per_s: float | None = None,
+                  fused: bool = True) -> dict:
     """Roofline verdict for a measured EM rate (event-rounds/s through
     train_one_round): achieved VPU ops/s and HBM bytes/s vs their
-    ceilings, and which one binds."""
-    ops = em_ops_per_event(n)
-    bts = em_hbm_bytes_per_event(n)
+    ceilings, and which one binds.  fused=True (the production default
+    path) uses the streaming-round models; fused=False the legacy
+    materialize-then-reduce models (still used by --trans runs)."""
+    ops = em_fused_ops_per_event(n) if fused else em_ops_per_event(n)
+    bts = (em_fused_hbm_bytes_per_event(n) if fused
+           else em_hbm_bytes_per_event(n))
     achieved_ops = events_per_round_s * ops["total"]
     achieved_bytes = events_per_round_s * bts["total"]
     peak_ops = fma_peak_ops_per_s or V5E_VPU_SPEC_OPS_PER_S

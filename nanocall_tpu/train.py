@@ -156,10 +156,13 @@ def _fused_bwd_mstats(gtf, model, ev, lpd, alphas, W, x_unc, t_start,
         (Parameter_Trainer.hpp:265-321): per-step posterior x state-
         weight contractions s0..s2/l0..l2 folded against x/t/y into 14
         per-sequence scalars, and
-      - the transition M-step's three masked log-sum-exp totals
-        (Parameter_Trainer.hpp:434-517): per-step lse over the training
-        subset, folded into running log-space accumulators (associative
-        reassociation of the same summands as _train_st_params).
+      - the transition M-step's three posterior-mass totals
+        (Parameter_Trainer.hpp:434-517), accumulated in LINEAR
+        probability space: the summands are posterior probabilities in
+        [0, 1], so the legacy log-space round trips (per-step lse +
+        logaddexp carries) collapse to masked sums — same summands as
+        _train_st_params up to float reassociation, an order of
+        magnitude fewer transcendentals.
 
     HBM traffic per event drops from ~36n bytes (9 tensor passes) to ~8n
     (alpha write + read).  Results differ from the legacy path only by
@@ -185,10 +188,9 @@ def _fused_bwd_mstats(gtf, model, ev, lpd, alphas, W, x_unc, t_start,
     def tile(x, r):
         return jnp.broadcast_to(x[:, None, :], (B, r, x.shape[1])).reshape(B, n)
 
-    # per-sequence transition log-rates (constant over steps)
-    log_p_stay = jnp.log(p_stay_seq)[:, None]
-    log_p_step4 = (jnp.log(1.0 - p_stay_seq - p_skip_seq)
-                   - jnp.log(4.0))[:, None]
+    # per-sequence transition rates (constant over steps), linear space
+    p_stay_c = p_stay_seq[:, None]
+    p_step4_c = ((1.0 - p_stay_seq - p_skip_seq) / 4.0)[:, None]
 
     means = jnp.moveaxis(ev["mean"], 1, 0)
     stdvs = jnp.moveaxis(ev["stdv"], 1, 0)
@@ -197,16 +199,16 @@ def _fused_bwd_mstats(gtf, model, ev, lpd, alphas, W, x_unc, t_start,
     ts_u = jnp.moveaxis(t_start, 1, 0)
     ys_u = jnp.moveaxis(ev["stdv"], 1, 0)
 
-    def post_stats(alpha_t, beta_t, x_t, ts_t, y_t, t):
+    def post_stats(post, x_t, ts_t, y_t, w_t):
         """Scaling-M-step contributions of event t (hpp:265-296)."""
-        w_t = ((t < lengths) & valid)[:, None]
-        post = jnp.exp(alpha_t + beta_t - lpd_c) * w_t
         # per-k VPU reductions, NOT einsum('bn,bnk->bk'): the batched
-        # mat-vec lowers to 512 separate (1, n) x (n, 6) MXU products —
-        # measured slower in-scan than six broadcast-mul + sum trees
-        st6 = jnp.sum(post[:, :, None] * W, axis=1)  # (B, 6)
-        s0, s1, s2 = st6[:, 0], st6[:, 1], st6[:, 2]
-        l0, l1, l2 = st6[:, 3], st6[:, 4], st6[:, 5]
+        # mat-vec lowers to B separate (1, n) x (n, 6) MXU products
+        s0 = jnp.sum(post * W[:, :, 0], axis=-1)
+        s1 = jnp.sum(post * W[:, :, 1], axis=-1)
+        s2 = jnp.sum(post * W[:, :, 2], axis=-1)
+        l0 = jnp.sum(post * W[:, :, 3], axis=-1)
+        l1 = jnp.sum(post * W[:, :, 4], axis=-1)
+        l2 = jnp.sum(post * W[:, :, 5], axis=-1)
         cnt = w_t[:, 0].astype(jnp.float32)
         return jnp.stack([
             s0, s1, s2,                      # A00, A01, A11
@@ -220,28 +222,26 @@ def _fused_bwd_mstats(gtf, model, ev, lpd, alphas, W, x_unc, t_start,
             cnt,                             # Ne
         ], axis=-1)  # (B, 14)
 
-    def step_lse(v, w_tr):
-        vm = jnp.where(w_tr, v, -jnp.inf)
-        m = jnp.max(vm, axis=-1)
-        safe = jnp.where(jnp.isfinite(m), m, 0.0)
-        s = jnp.sum(jnp.exp(vm - safe[:, None]), axis=-1)
-        return jnp.where(jnp.isfinite(m), safe + jnp.log(s), m)
-
     # t = T-1 contributions (beta = 0; no outgoing transition)
     beta_init = jnp.zeros((B, n), jnp.float32)
-    scal0 = (post_stats(alphas[T - 1], beta_init, xs_u[T - 1], ts_u[T - 1],
-                        ys_u[T - 1], T - 1)
-             if train_scaling else jnp.zeros((B, 14), jnp.float32))
-    st0 = jnp.full((B, 3), -jnp.inf, jnp.float32)
+    if train_scaling:
+        w_last = ((T - 1 < lengths) & valid)[:, None]
+        post_last = jnp.exp(alphas[T - 1] - lpd_c) * w_last
+        scal0 = post_stats(post_last, xs_u[T - 1], ts_u[T - 1],
+                           ys_u[T - 1], w_last)
+    else:
+        scal0 = jnp.zeros((B, 14), jnp.float32)
+    st0 = jnp.zeros((B, 3), jnp.float32)
 
     def bwd_step(carry, x):
         beta_next, scal, st3 = carry
         alpha_t, mean_n, stdv_n, log_stdv_n, x_t, ts_t, y_t, t = x
         em_next = hmm.log_emission(model, mean_n, stdv_n, log_stdv_n)
         g = em_next + beta_next
-        m = jnp.max(g, axis=-1, keepdims=True)
-        G = jnp.exp(g - m)
-        T4 = tile(jnp.sum(G.reshape(B, n4, 4), axis=-1), 4)
+        m = jnp.max(g, axis=-1, keepdims=True)  # always finite: em is
+        G = jnp.exp(g - m)                      # finite, beta finite
+        sum4 = jnp.sum(G.reshape(B, n4, 4), axis=-1)
+        T4 = tile(sum4, 4)
         T16 = tile(jnp.sum(G.reshape(B, n // 16, 16), axis=-1), 16)
         total = (
             e_stay * G
@@ -251,25 +251,35 @@ def _fused_bwd_mstats(gtf, model, ev, lpd, alphas, W, x_unc, t_start,
         cand = m + jnp.log(total)
         beta_t = jnp.where((t >= lengths - 1)[:, None], 0.0, cand)
 
+        # Pr[S_t = j | data]: shared by the posterior stats AND the
+        # transition M-step's denominator (= exp(lp_j1), hpp:479)
+        exp_lp = jnp.exp(alpha_t + beta_t - lpd_c)
         if train_scaling:
-            scal = scal + post_stats(alpha_t, beta_t, x_t, ts_t, y_t, t)
+            w_t = ((t < lengths) & valid)[:, None]
+            scal = scal + post_stats(exp_lp * w_t, x_t, ts_t, y_t, w_t)
         if train_transitions:
-            # transition i = t (hpp:479-512); g/m reused from the beta
-            # recursion (same quantities _train_st_params recomputes)
-            lp_j1 = alpha_t + beta_t - lpd_c
-            lp_stay = jnp.minimum(alpha_t + log_p_stay + g - lpd_c, lp_j1)
-            safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
-            eg4 = jnp.exp(g - safe_m).reshape(B, n4, 4).sum(axis=-1)
-            lsum4 = safe_m + jnp.tile(jnp.log(eg4), (1, 4))
-            lp_steps = alpha_t + log_p_step4 + lsum4 - lpd_c
-            lp_d01 = jnp.minimum(jnp.logaddexp(lp_stay, lp_steps), lp_j1)
-            p_d2 = jnp.maximum(jnp.exp(lp_j1) - jnp.exp(lp_d01), 0.0)
-            lp_d2 = jnp.log(p_d2)
+            # transition i = t (hpp:479-512) in PROBABILITY space: every
+            # legacy log-space quantity here is exp()'d monotonically, so
+            # min/max clamps commute, logaddexp becomes a plain add, and
+            # the step-successor block sums are the beta recursion's own
+            # T4 (tile(sum4)) — exp(lsum4) = exp(m) * sum4 tiled.  One
+            # exp over n (`base`) replaces the legacy block's ~9
+            # n-lane transcendental passes; the accumulators sum linearly
+            # (terms are posterior probabilities <= 1, so no overflow,
+            # and terms below f32 relative epsilon are irrelevant to the
+            # [0.05, 0.4]-clamped ratio).
+            base = jnp.exp(alpha_t + m - lpd_c)  # (B, n)
+            stay_term = jnp.minimum(p_stay_c * base * G, exp_lp)
+            steps_term = p_step4_c * base * T4
+            d01 = jnp.minimum(stay_term + steps_term, exp_lp)
+            skip_term = jnp.maximum(exp_lp - d01, 0.0)
             w_tr = ((t < lengths - 1)[:, None] & valid_c) & subset[None, :]
-            part = jnp.stack([step_lse(lp_j1, w_tr),
-                              step_lse(lp_stay, w_tr),
-                              step_lse(lp_d2, w_tr)], axis=-1)
-            st3 = jnp.logaddexp(st3, part)
+            part = jnp.stack([
+                jnp.sum(jnp.where(w_tr, exp_lp, 0.0), axis=-1),
+                jnp.sum(jnp.where(w_tr, stay_term, 0.0), axis=-1),
+                jnp.sum(jnp.where(w_tr, skip_term, 0.0), axis=-1),
+            ], axis=-1)
+            st3 = st3 + part
         return (beta_t, scal, st3), None
 
     xs = (alphas[: T - 1], means[1:], stdvs[1:], log_stdvs[1:],
@@ -503,15 +513,17 @@ def train_one_round(
             for st in (0, 1):
                 seq_mask = (strand_b == st).reshape(G, S)
 
-                def red_g(v):
-                    return _masked_lse(v.reshape(G, S), seq_mask, (1,))
+                def red_g(v):  # linear posterior-mass totals (see
+                    # _fused_bwd_mstats): plain masked sums + ratio
+                    return jnp.sum(
+                        jnp.where(seq_mask, v.reshape(G, S), 0.0), axis=1)
 
                 denom = red_g(st3["denom"])
                 num_stay = red_g(st3["stay"])
                 num_skip = red_g(st3["skip"])
-                p_stay_new = jnp.clip(jnp.exp(num_stay - denom),
+                p_stay_new = jnp.clip(num_stay / denom,
                                       ST_CLAMP_LO, ST_CLAMP_HI)
-                p_skip_new = jnp.clip(jnp.exp(num_skip - denom),
+                p_skip_new = jnp.clip(num_skip / denom,
                                       ST_CLAMP_LO, ST_CLAMP_HI)
                 has_seqs = jnp.any(
                     (strand == st) & ev["valid"] & (ev["length"] > 1), axis=1

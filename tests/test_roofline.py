@@ -62,9 +62,34 @@ def test_em_ops_model_magnitude():
         "st_mstep"] == 0
 
 
+def test_em_fused_models():
+    for n in (64, 4096):
+        for fn in (roofline.em_fused_bwd_ops_per_event,
+                   roofline.em_fused_ops_per_event,
+                   roofline.em_fused_hbm_bytes_per_event):
+            d = fn(n)
+            assert d["total"] == sum(
+                v for k, v in d.items() if k not in ("total", "mxu_macs")
+            ), fn.__name__
+    n = 4096
+    # fused round: ~107 ops/state, only 8n bytes (alpha write + read) —
+    # the bytes ceiling rises ~4.5x over the legacy 36n formulation
+    tot = roofline.em_fused_ops_per_event(n)["total"]
+    assert 100 * n < tot < 115 * n
+    assert roofline.em_fused_hbm_bytes_per_event(n)["total"] == 8 * n
+    rep_f = roofline.em_mfu_report(1.6e6, n, fma_peak_ops_per_s=2.6e12)
+    rep_l = roofline.em_mfu_report(1.6e6, n, fma_peak_ops_per_s=2.6e12,
+                                   fused=False)
+    assert rep_f["ceiling_events_per_s_hbm"] > 4 * rep_l[
+        "ceiling_events_per_s_hbm"]
+    # fused is compute-bound (the point of the redesign)
+    assert rep_f["binding_resource"] == "compute"
+
+
 def test_em_mfu_report_fields_and_binding():
     n = 4096
-    rep = roofline.em_mfu_report(1.5e6, n, fma_peak_ops_per_s=3e12)
+    rep = roofline.em_mfu_report(1.5e6, n, fma_peak_ops_per_s=3e12,
+                                 fused=False)
     assert rep["achieved_vpu_ops_per_s"] == 1.5e6 * roofline.em_ops_per_event(
         n)["total"]
     assert rep["achieved_hbm_bytes_per_s"] == 1.5e6 * 9 * 4 * n
