@@ -240,7 +240,11 @@ def em_hbm_bytes_per_event(n: int) -> dict:
 def em_fused_bwd_ops_per_event(n: int) -> dict:
     """Per (sequence row, event): the FUSED reverse scan
     (train._fused_bwd_mstats bwd_step) — beta recursion + recomputed
-    emission + posterior + both M-steps' statistics, probability space."""
+    emission + posterior + both M-steps' statistics.  The transition
+    M-step block runs in LOG space, term-for-term like the reference
+    (Parameter_Trainer.hpp:456-517) — the cheaper probability-space
+    factorization was falsified by the trained fuzz (byte-FASTA flip at
+    seed 11/r73; PERFORMANCE.md round-5 dead-end entry)."""
     items = {
         "g_add": n,
         "max_g": n,
@@ -256,9 +260,11 @@ def em_fused_bwd_ops_per_event(n: int) -> dict:
         "posterior": 3 * n,
         # scaling stats: post*w mul + six mul+sum reductions + scalars
         "scal_stats": 13 * n + 30,
-        # st stats: base exp(a+m-lpd) 3n, stay 3n, steps 2n, d01 2n,
-        # skip 2n, three masked sums 6n
-        "st_stats": 18 * n,
+        # st stats, log space: lp_j1 2n; lp_stay 4n; eg4 exp pass
+        # 2n + 0.75n sum; lsum4 log(n/4) + add ~1.25n; lp_steps 3n;
+        # logaddexp + min 5n; p_d2 (two exp, sub, max, log) 5n; three
+        # step_lse (mask, max, sub, exp, sum) ~5n each = 15n
+        "st_stats": 38 * n,
     }
     items["total"] = sum(items.values())
     return items

@@ -156,13 +156,18 @@ def _fused_bwd_mstats(gtf, model, ev, lpd, alphas, W, x_unc, t_start,
         (Parameter_Trainer.hpp:265-321): per-step posterior x state-
         weight contractions s0..s2/l0..l2 folded against x/t/y into 14
         per-sequence scalars, and
-      - the transition M-step's three posterior-mass totals
-        (Parameter_Trainer.hpp:434-517), accumulated in LINEAR
-        probability space: the summands are posterior probabilities in
-        [0, 1], so the legacy log-space round trips (per-step lse +
-        logaddexp carries) collapse to masked sums — same summands as
-        _train_st_params up to float reassociation, an order of
-        magnitude fewer transcendentals.
+      - the transition M-step's three masked log-sum-exp totals
+        (Parameter_Trainer.hpp:434-517): per-step lse over the training
+        subset, folded into running log-space accumulators (associative
+        reassociation of the same summands as _train_st_params).  The
+        per-term values are computed in LOG space term-for-term like the
+        reference (alpha + log_p_trans + g - lpd); a cheaper
+        probability-space factorization (exp(alpha+m-lpd) * the beta
+        recursion's own block sums) was measured 1.6x faster but drifted
+        the trained p_stay/p_skip far enough to flip one decoded base at
+        trained-fuzz seed 11/r73, breaking the fixed-round byte-FASTA
+        contract — falsified, do not retry without a new exactness
+        argument (PERFORMANCE.md round-5 dead ends).
 
     HBM traffic per event drops from ~36n bytes (9 tensor passes) to ~8n
     (alpha write + read).  Results differ from the legacy path only by
@@ -188,9 +193,17 @@ def _fused_bwd_mstats(gtf, model, ev, lpd, alphas, W, x_unc, t_start,
     def tile(x, r):
         return jnp.broadcast_to(x[:, None, :], (B, r, x.shape[1])).reshape(B, n)
 
-    # per-sequence transition rates (constant over steps), linear space
-    p_stay_c = p_stay_seq[:, None]
-    p_step4_c = ((1.0 - p_stay_seq - p_skip_seq) / 4.0)[:, None]
+    # per-sequence transition log-rates (constant over steps)
+    log_p_stay = jnp.log(p_stay_seq)[:, None]
+    log_p_step4 = (jnp.log(1.0 - p_stay_seq - p_skip_seq)
+                   - jnp.log(4.0))[:, None]
+
+    def step_lse(v, w_tr):
+        vm = jnp.where(w_tr, v, -jnp.inf)
+        m = jnp.max(vm, axis=-1)
+        safe = jnp.where(jnp.isfinite(m), m, 0.0)
+        s = jnp.sum(jnp.exp(vm - safe[:, None]), axis=-1)
+        return jnp.where(jnp.isfinite(m), safe + jnp.log(s), m)
 
     means = jnp.moveaxis(ev["mean"], 1, 0)
     stdvs = jnp.moveaxis(ev["stdv"], 1, 0)
@@ -231,7 +244,7 @@ def _fused_bwd_mstats(gtf, model, ev, lpd, alphas, W, x_unc, t_start,
                            ys_u[T - 1], w_last)
     else:
         scal0 = jnp.zeros((B, 14), jnp.float32)
-    st0 = jnp.zeros((B, 3), jnp.float32)
+    st0 = jnp.full((B, 3), -jnp.inf, jnp.float32)
 
     def bwd_step(carry, x):
         beta_next, scal, st3 = carry
@@ -258,28 +271,22 @@ def _fused_bwd_mstats(gtf, model, ev, lpd, alphas, W, x_unc, t_start,
             w_t = ((t < lengths) & valid)[:, None]
             scal = scal + post_stats(exp_lp * w_t, x_t, ts_t, y_t, w_t)
         if train_transitions:
-            # transition i = t (hpp:479-512) in PROBABILITY space: every
-            # legacy log-space quantity here is exp()'d monotonically, so
-            # min/max clamps commute, logaddexp becomes a plain add, and
-            # the step-successor block sums are the beta recursion's own
-            # T4 (tile(sum4)) — exp(lsum4) = exp(m) * sum4 tiled.  One
-            # exp over n (`base`) replaces the legacy block's ~9
-            # n-lane transcendental passes; the accumulators sum linearly
-            # (terms are posterior probabilities <= 1, so no overflow,
-            # and terms below f32 relative epsilon are irrelevant to the
-            # [0.05, 0.4]-clamped ratio).
-            base = jnp.exp(alpha_t + m - lpd_c)  # (B, n)
-            stay_term = jnp.minimum(p_stay_c * base * G, exp_lp)
-            steps_term = p_step4_c * base * T4
-            d01 = jnp.minimum(stay_term + steps_term, exp_lp)
-            skip_term = jnp.maximum(exp_lp - d01, 0.0)
+            # transition i = t (hpp:479-512); g/m reused from the beta
+            # recursion (same quantities _train_st_params recomputes)
+            lp_j1 = alpha_t + beta_t - lpd_c
+            lp_stay = jnp.minimum(alpha_t + log_p_stay + g - lpd_c, lp_j1)
+            safe_m = jnp.where(jnp.isfinite(m), m, 0.0)
+            eg4 = jnp.exp(g - safe_m).reshape(B, n4, 4).sum(axis=-1)
+            lsum4 = safe_m + jnp.tile(jnp.log(eg4), (1, 4))
+            lp_steps = alpha_t + log_p_step4 + lsum4 - lpd_c
+            lp_d01 = jnp.minimum(jnp.logaddexp(lp_stay, lp_steps), lp_j1)
+            p_d2 = jnp.maximum(jnp.exp(lp_j1) - jnp.exp(lp_d01), 0.0)
+            lp_d2 = jnp.log(p_d2)
             w_tr = ((t < lengths - 1)[:, None] & valid_c) & subset[None, :]
-            part = jnp.stack([
-                jnp.sum(jnp.where(w_tr, exp_lp, 0.0), axis=-1),
-                jnp.sum(jnp.where(w_tr, stay_term, 0.0), axis=-1),
-                jnp.sum(jnp.where(w_tr, skip_term, 0.0), axis=-1),
-            ], axis=-1)
-            st3 = st3 + part
+            part = jnp.stack([step_lse(lp_j1, w_tr),
+                              step_lse(lp_stay, w_tr),
+                              step_lse(lp_d2, w_tr)], axis=-1)
+            st3 = jnp.logaddexp(st3, part)
         return (beta_t, scal, st3), None
 
     xs = (alphas[: T - 1], means[1:], stdvs[1:], log_stdvs[1:],
@@ -513,17 +520,15 @@ def train_one_round(
             for st in (0, 1):
                 seq_mask = (strand_b == st).reshape(G, S)
 
-                def red_g(v):  # linear posterior-mass totals (see
-                    # _fused_bwd_mstats): plain masked sums + ratio
-                    return jnp.sum(
-                        jnp.where(seq_mask, v.reshape(G, S), 0.0), axis=1)
+                def red_g(v):
+                    return _masked_lse(v.reshape(G, S), seq_mask, (1,))
 
                 denom = red_g(st3["denom"])
                 num_stay = red_g(st3["stay"])
                 num_skip = red_g(st3["skip"])
-                p_stay_new = jnp.clip(num_stay / denom,
+                p_stay_new = jnp.clip(jnp.exp(num_stay - denom),
                                       ST_CLAMP_LO, ST_CLAMP_HI)
-                p_skip_new = jnp.clip(num_skip / denom,
+                p_skip_new = jnp.clip(jnp.exp(num_skip - denom),
                                       ST_CLAMP_LO, ST_CLAMP_HI)
                 has_seqs = jnp.any(
                     (strand == st) & ev["valid"] & (ev["length"] > 1), axis=1

@@ -72,10 +72,11 @@ def test_em_fused_models():
                 v for k, v in d.items() if k not in ("total", "mxu_macs")
             ), fn.__name__
     n = 4096
-    # fused round: ~107 ops/state, only 8n bytes (alpha write + read) —
-    # the bytes ceiling rises ~4.5x over the legacy 36n formulation
+    # fused round: ~127 ops/state (log-space st block), only 8n bytes
+    # (alpha write + read) — the bytes ceiling rises ~4.5x over the
+    # legacy 36n formulation
     tot = roofline.em_fused_ops_per_event(n)["total"]
-    assert 100 * n < tot < 115 * n
+    assert 120 * n < tot < 135 * n
     assert roofline.em_fused_hbm_bytes_per_event(n)["total"] == 8 * n
     rep_f = roofline.em_mfu_report(1.6e6, n, fma_peak_ops_per_s=2.6e12)
     rep_l = roofline.em_mfu_report(1.6e6, n, fma_peak_ops_per_s=2.6e12,
