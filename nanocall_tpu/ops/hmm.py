@@ -283,43 +283,27 @@ def make_grouped_trans(params=None, K: int = 6, p_stay=None, p_skip=None) -> Gro
     )
 
 
-def viterbi_forward_grouped(gt: GroupedTrans, model: ModelArrays, ev: dict,
-                            unroll: int = 1):
-    """Grouped max-plus forward pass: per step, reduce alpha to 4-way and
-    16-way column maxima once, then each destination j combines three
-    candidates (stay, step-group, skip-group) — ~3-4x less VPU work than
-    the 21-slot expansion, with identical results and tie-breaking.
+def _grouped_step_core(gt: GroupedTrans, alpha: jax.Array):
+    """One grouped max-plus transition step (shared by the full forward
+    scan, the carry-in chunk variant, and the sequence-parallel decoder —
+    all three MUST run the identical op sequence so chunked/sharded decodes
+    stay bit-exact vs the single-program kernel).
 
-    Returns (final_alpha (B, n), bps (T-1, B, n) uint8) — bps[t-1] is the
-    backpointer table for event t (event 0 has no predecessor; the old
-    sentinel row forced a full copy of the multi-GB tensor via concatenate).
+    alpha (B, n) -> (best (B, n) pre-emission scores, bp (B, n) uint8).
 
     bp encoding (uint8): (group << 6) | within-group argmax
       group 0: stay (from = j)
       group 1: step (from = (arg << 2(K-1)) | (j >> 2))
       group 2: skip (from = (arg << 2(K-2)) | (j >> 4))
     """
-    n = model.level_mean.shape[-1]
+    B, n = alpha.shape
     K = gt.K
-    log_n = jnp.float32(math.log(n))
-    lengths = ev["length"]
-    B, T = ev["mean"].shape
     n4, n16 = n // 4, n // 16
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     f0 = iota_n  # stay from-state
     j_shr2 = iota_n >> 2
     j_shr4 = iota_n >> 4
     big = jnp.int32(np.iinfo(np.int32).max)
-
-    em0 = log_emission(model, ev["mean"][:, 0], ev["stdv"][:, 0], ev["log_stdv"][:, 0])
-    alpha0 = em0 - log_n
-
-    xs = (
-        jnp.moveaxis(ev["mean"][:, 1:], 1, 0),
-        jnp.moveaxis(ev["stdv"][:, 1:], 1, 0),
-        jnp.moveaxis(ev["log_stdv"][:, 1:], 1, 0),
-        jnp.arange(1, T),
-    )
 
     def rep(x, r):  # (B, n/r) -> (B, n): value at column j = x[j >> log4(r)]
         return jnp.broadcast_to(
@@ -339,30 +323,60 @@ def viterbi_forward_grouped(gt: GroupedTrans, model: ModelArrays, ev: dict,
             g = jnp.where(take, r, g)
         return m, g
 
+    m4, g4 = colmax(alpha.reshape(B, 4, n4))
+    m16, g16 = colmax(alpha.reshape(B, 16, n16))
+
+    v0 = gt.stay_lp + alpha
+    v1 = gt.step_lp + rep(m4, 4)
+    v2 = gt.skip_lp + rep(m16, 16)
+    best = jnp.maximum(jnp.maximum(v0, v1), v2)
+
+    arg4 = rep(g4, 4).astype(jnp.int32)
+    arg16 = rep(g16, 16).astype(jnp.int32)
+    f1 = (arg4 << (2 * (K - 1))) | j_shr2
+    f2 = (arg16 << (2 * (K - 2))) | j_shr4
+    k0 = jnp.where(v0 == best, f0, big)
+    k1 = jnp.where(v1 == best, f1, big)
+    k2 = jnp.where(v2 == best, f2, big)
+    fmin = jnp.minimum(jnp.minimum(k0, k1), k2)
+    bp = jnp.where(
+        k0 == fmin,
+        0,
+        jnp.where(k1 == fmin, 64 + arg4, 128 + arg16),
+    ).astype(jnp.uint8)
+    return best, bp
+
+
+def viterbi_forward_grouped(gt: GroupedTrans, model: ModelArrays, ev: dict,
+                            unroll: int = 1):
+    """Grouped max-plus forward pass: per step, reduce alpha to 4-way and
+    16-way column maxima once, then each destination j combines three
+    candidates (stay, step-group, skip-group) — ~3-4x less VPU work than
+    the 21-slot expansion, with identical results and tie-breaking
+    (see _grouped_step_core for the bp encoding).
+
+    Returns (final_alpha (B, n), bps (T-1, B, n) uint8) — bps[t-1] is the
+    backpointer table for event t (event 0 has no predecessor; the old
+    sentinel row forced a full copy of the multi-GB tensor via concatenate).
+    """
+    n = model.level_mean.shape[-1]
+    log_n = jnp.float32(math.log(n))
+    lengths = ev["length"]
+    B, T = ev["mean"].shape
+
+    em0 = log_emission(model, ev["mean"][:, 0], ev["stdv"][:, 0], ev["log_stdv"][:, 0])
+    alpha0 = em0 - log_n
+
+    xs = (
+        jnp.moveaxis(ev["mean"][:, 1:], 1, 0),
+        jnp.moveaxis(ev["stdv"][:, 1:], 1, 0),
+        jnp.moveaxis(ev["log_stdv"][:, 1:], 1, 0),
+        jnp.arange(1, T),
+    )
+
     def step(alpha, x):
         mean_t, stdv_t, log_stdv_t, t = x
-        m4, g4 = colmax(alpha.reshape(B, 4, n4))
-        m16, g16 = colmax(alpha.reshape(B, 16, n16))
-
-        v0 = gt.stay_lp + alpha
-        v1 = gt.step_lp + rep(m4, 4)
-        v2 = gt.skip_lp + rep(m16, 16)
-        best = jnp.maximum(jnp.maximum(v0, v1), v2)
-
-        arg4 = rep(g4, 4).astype(jnp.int32)
-        arg16 = rep(g16, 16).astype(jnp.int32)
-        f1 = (arg4 << (2 * (K - 1))) | j_shr2
-        f2 = (arg16 << (2 * (K - 2))) | j_shr4
-        k0 = jnp.where(v0 == best, f0, big)
-        k1 = jnp.where(v1 == best, f1, big)
-        k2 = jnp.where(v2 == best, f2, big)
-        fmin = jnp.minimum(jnp.minimum(k0, k1), k2)
-        bp = jnp.where(
-            k0 == fmin,
-            0,
-            jnp.where(k1 == fmin, 64 + arg4, 128 + arg16),
-        ).astype(jnp.uint8)
-
+        best, bp = _grouped_step_core(gt, alpha)
         em = log_emission(model, mean_t, stdv_t, log_stdv_t)
         new_alpha = best + em
         active = (t < lengths)[:, None]
@@ -370,6 +384,92 @@ def viterbi_forward_grouped(gt: GroupedTrans, model: ModelArrays, ev: dict,
 
     final_alpha, bps = jax.lax.scan(step, alpha0, xs, unroll=unroll)
     return final_alpha, bps
+
+
+def viterbi_forward_grouped_chunk(gt: GroupedTrans, model: ModelArrays,
+                                  ev: dict, carry_alpha: jax.Array, t0,
+                                  unroll: int = 2):
+    """Forward scan over one T-chunk with an explicit incoming carry — the
+    building block of T-chunked long-read decode and of the cross-device
+    sequence-parallel scan (SURVEY §5 long-context; the reference instead
+    caps reads at 100k events and materializes full DP matrices,
+    Fast5_Summary.hpp:510-524).
+
+    ev arrays are (B, Tc) chunk slices covering GLOBAL events
+    [t0, t0+Tc); ev['length'] is the GLOBAL read length; carry_alpha (B, n)
+    is alpha at event t0-1 (ignored when t0 == 0 — the t == 0 step
+    initializes from the emission, exactly like the full kernel's alpha0).
+
+    Returns (final_alpha (B, n) = alpha at event t0+Tc-1,
+             bps (Tc, B, n) uint8) — row i is the backpointer table of
+    global event t0+i; the row at global event 0 is all-zero filler (event
+    0 has no predecessor).  Scanning chunks left-to-right while threading
+    final_alpha reproduces viterbi_forward_grouped bit-exactly.
+    """
+    n = model.level_mean.shape[-1]
+    log_n = jnp.float32(math.log(n))
+    lengths = ev["length"]
+    B, Tc = ev["mean"].shape
+    t0 = jnp.asarray(t0, jnp.int32)
+
+    xs = (
+        jnp.moveaxis(ev["mean"], 1, 0),
+        jnp.moveaxis(ev["stdv"], 1, 0),
+        jnp.moveaxis(ev["log_stdv"], 1, 0),
+        jnp.arange(Tc),
+    )
+
+    def step(alpha, x):
+        mean_t, stdv_t, log_stdv_t, i = x
+        t = t0 + i
+        best, bp = _grouped_step_core(gt, alpha)
+        em = log_emission(model, mean_t, stdv_t, log_stdv_t)
+        first = t == 0
+        new_alpha = jnp.where(first, em - log_n, best + em)
+        bp = jnp.where(first, jnp.uint8(0), bp)
+        active = (t < lengths)[:, None] | first
+        return jnp.where(active, new_alpha, alpha), bp
+
+    final_alpha, bps = jax.lax.scan(step, carry_alpha, xs, unroll=unroll)
+    return final_alpha, bps
+
+
+def viterbi_traceback_grouped_chunk(gt: GroupedTrans, end_state, carry_state,
+                                    bps, t0, lengths, unroll: int = 8):
+    """Reverse-scan one bp chunk of a T-chunked decode.
+
+    bps (Tc, B, n) uint8 rows cover global events [t0, t0+Tc) (the
+    viterbi_forward_grouped_chunk layout).  carry_state (B,) int32 is the
+    decoded state at event t0+Tc-1's SUCCESSOR-side entry — i.e. the carry
+    the full traceback scan holds when it is about to consume row
+    t0+Tc-1; for the LAST chunk pass end_state.  end_state (B,) int32 =
+    argmax of the final alpha (needed throughout for the t == lengths-1
+    clamp, matching viterbi_traceback_grouped).
+
+    Returns (carry_out (B,) int32 — feed as carry_state of the chunk to
+    the LEFT, garbage after the t0 == 0 chunk — and states (Tc, B) uint16,
+    row i = decoded state at global event t0+i).  Concatenating chunk
+    state rows right-to-left reproduces the full kernel's path bit-exactly,
+    including the clamped suffix past each read's length.
+    """
+    Tm, B, n = bps.shape
+    K = gt.K
+    t0 = jnp.asarray(t0, jnp.int32)
+
+    def step(s, x):
+        bp_t, i = x
+        t = t0 + i
+        s_eff = jnp.where(t == lengths - 1, end_state, s)
+        k = _lookup_bp(bp_t, s_eff)
+        s_prev = grouped_from_state(k.astype(jnp.uint8), s_eff, K)
+        real = t <= lengths - 1
+        s_new = jnp.where(real, s_prev, s_eff)
+        return s_new, s_eff.astype(jnp.uint16)
+
+    xs = (bps, jnp.arange(Tm))
+    carry_out, states = jax.lax.scan(step, carry_state, xs, reverse=True,
+                                     unroll=unroll)
+    return carry_out, states
 
 
 def _lookup_bp(bp_t: jax.Array, s: jax.Array) -> jax.Array:
