@@ -1047,17 +1047,27 @@ def _pooled_ev_batch(pool_mean, pool_stdv, pool_start, idx, drifts, lengths):
     }
 
 
-@functools.partial(jax.jit, static_argnames=("K", "with_path"))
+@functools.partial(jax.jit, static_argnames=("K", "with_path", "Tc"))
 def _decode_chunk_pooled(pool_mean, pool_stdv, pool_start, idx, drifts, bank,
                          model_idx, pm_params, stp, lengths, K=6,
-                         with_path=True):
+                         with_path=True, Tc=None):
     """One fused device dispatch per decode chunk: gather the chunk's rows
     from the event pool, apply drift correction, build grouped tables and
-    scaled model arrays on device, and run the Viterbi decode."""
+    scaled model arrays on device, and run the Viterbi decode.
+
+    Tc (static): when set, run the chunked-time decode program instead of
+    the full scan — bit-identical output (incl. the compact code bytes)
+    with a ~(1 + 1.5/C)x HBM peak instead of ~2.5x, which is what admits
+    the larger long-bucket batches of shapes.path_bp_budget."""
     gt = hmm.make_grouped_trans_device.__wrapped__(stp[:, 0], stp[:, 1], K)
     model = hmm.make_scaled_model_arrays.__wrapped__(bank, model_idx, pm_params)
     ev_batch = _pooled_ev_batch(pool_mean, pool_stdv, pool_start, idx,
                                 drifts, lengths)
+    if Tc:
+        return hmm.viterbi_decode_grouped_tchunk.__wrapped__(
+            gt, model, ev_batch, Tc=Tc, with_path=with_path,
+            compact_path=with_path,
+        )
     return hmm.viterbi_decode_grouped.__wrapped__(
         gt, model, ev_batch, with_path=with_path,
         compact_path=with_path,  # halve the path fetch (relay-bound)
@@ -1139,6 +1149,12 @@ def _dispatch_decode_chunk(sub, T, Bc, summaries, models, cfg: Config,
         return hmm.viterbi_decode(
             sparse_ops, model, ev_batch, with_path=with_path
         )
+    # Long with_path buckets select the chunked-time program (bounded
+    # traceback layout-copy -> bigger batch within the HBM budget; the
+    # batch cap in _full_batch/shapes.path_bp_budget assumes this, so the
+    # two MUST stay in sync).  Bit-identical output incl. compact codes.
+    tc = (batching.tchunk_len(T)
+          if with_path and T >= batching.TCHUNK_MIN_T else None)
     if sharder.active:
         # multi-device: gather rows, then shard the batch over the
         # 'data' mesh axis
@@ -1155,6 +1171,11 @@ def _dispatch_decode_chunk(sub, T, Bc, summaries, models, cfg: Config,
             jnp.asarray(idx), jnp.asarray(drifts), length,
         )
         gt, model, ev_batch = sharder.shard((gt, model, ev_batch), Bc)
+        if tc:
+            return hmm.viterbi_decode_grouped_tchunk(
+                gt, model, ev_batch, Tc=tc, with_path=with_path,
+                compact_path=with_path,
+            )
         return hmm.viterbi_decode_grouped(
             gt, model, ev_batch, with_path=with_path,
             compact_path=with_path,
@@ -1168,7 +1189,7 @@ def _dispatch_decode_chunk(sub, T, Bc, summaries, models, cfg: Config,
         {k: jnp.asarray(v) for k, v in bank.items()},
         model_idx, pm_params,
         stp.astype(np.float32), length,
-        K=cfg.kmer_size, with_path=with_path,
+        K=cfg.kmer_size, with_path=with_path, Tc=tc,
     )
 
 
@@ -1305,14 +1326,23 @@ class _DecodeDriver:
             transitions.TransitionParams(self.cfg.pr_stay, self.cfg.pr_skip)
         )
 
-    def _full_batch(self, T: int, with_path: bool = True) -> int:
+    def _full_batch(self, T: int, with_path: bool = True,
+                    sparse_kind: bool = False) -> int:
         if with_path or not self.cfg.score_max_batch:
             # score chunks default to the path cap: bigger score chunks
             # measured SLOWER end-to-end (coarser granularity delays the
             # first winners' path dispatch more than fewer fetch round
             # trips gain; Config.score_max_batch)
+            # Grouped long-bucket path chunks dispatch the chunked-time
+            # program, whose smaller HBM peak admits a larger batch
+            # (shapes.path_bp_budget); sparse chunks keep the full-scan
+            # generic kernel and its conservative budget.
+            from .shapes import path_bp_budget
+
+            budget = (BP_MEM_BUDGET if sparse_kind
+                      else path_bp_budget(T))
             cap = batching.batch_size_for(
-                T, self.cfg.bucket_max_batch, BP_MEM_BUDGET, self.n
+                T, self.cfg.bucket_max_batch, budget, self.n
             )
         else:
             # score-only chunks hold no backpointers: cap by the gathered
@@ -1366,7 +1396,7 @@ class _DecodeDriver:
     def _pump(self) -> None:
         """Dispatch every queue whose length reaches a full chunk."""
         for (T, kind, wp), q in self.queue.items():
-            B = self._full_batch(T, with_path=wp)
+            B = self._full_batch(T, with_path=wp, sparse_kind=kind)
             while len(q) >= B:
                 sub = q[:B]
                 del q[:B]

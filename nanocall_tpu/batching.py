@@ -25,6 +25,27 @@ def bucket_length(n_events: int, min_bucket: int = MIN_BUCKET) -> int:
     return ((n + 2047) // 2048) * 2048
 
 
+#: chunked-time decode engages for buckets past this length (the 2.5x
+#: full-scan HBM peak starts forfeiting real batch there; below it the
+#: full-scan program's cap already reaches bucket_max_batch)
+TCHUNK_MIN_T = 32768
+
+
+TCHUNK_LEN = 8192
+
+
+def tchunk_len(T: int) -> int:
+    """Chunk length for the chunked-time decode program
+    (ops.hmm.viterbi_decode_grouped_tchunk) at bucket T.  Fixed at
+    TCHUNK_LEN (the last chunk is simply shorter — the program loops
+    chunks statically, no divisibility constraint): large enough that
+    per-chunk scan overhead is noise (+4% measured at C=8), small
+    enough that the one-live-chunk traceback copy stays a minor term of
+    the HBM peak.  T itself when the bucket is short enough that
+    chunking buys nothing."""
+    return T if T <= TCHUNK_LEN else TCHUNK_LEN
+
+
 def batch_size_for(T: int, max_batch: int, mem_budget_bytes: int, n_states: int,
                    bytes_per_cell: int = 1) -> int:
     """Cap the bucket batch size so the dominant DP tensor stays within

@@ -546,18 +546,24 @@ def viterbi_traceback_grouped(gt: GroupedTrans, final_alpha, bps, lengths,
     s0, ys = jax.lax.scan(step, end_state, xs, reverse=True,
                           unroll=unroll)
     if compact:
-        # bit-pack 4 six-bit codes -> 3 bytes (elementwise; negligible vs
-        # the scans, and the result fetch is the decode path's wire cost)
-        G = -(-Tm // 4)
-        c = ys if 4 * G == Tm else jnp.pad(ys, ((0, 4 * G - Tm), (0, 0)))
-        c = c.reshape(G, 4, B).astype(jnp.int32)
-        w = c[:, 0] | (c[:, 1] << 6) | (c[:, 2] << 12) | (c[:, 3] << 18)
-        packed = jnp.stack(
-            [w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF], axis=1
-        ).astype(jnp.uint8).reshape(3 * G, B)
-        return s0, jnp.moveaxis(packed, 0, 1), path_logp
+        return s0, _pack_codes(ys), path_logp
     path = jnp.concatenate([s0[None].astype(jnp.uint16), ys], axis=0)
     return jnp.moveaxis(path, 0, 1), path_logp
+
+
+def _pack_codes(ys: jax.Array) -> jax.Array:
+    """Bit-pack (Tm, B) six-bit codes 4-per-3-bytes -> (B, 3*ceil(Tm/4))
+    (elementwise; negligible vs the scans, and the result fetch is the
+    decode path's wire cost)."""
+    Tm, B = ys.shape
+    G = -(-Tm // 4)
+    c = ys if 4 * G == Tm else jnp.pad(ys, ((0, 4 * G - Tm), (0, 0)))
+    c = c.reshape(G, 4, B).astype(jnp.int32)
+    w = c[:, 0] | (c[:, 1] << 6) | (c[:, 2] << 12) | (c[:, 3] << 18)
+    packed = jnp.stack(
+        [w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF], axis=1
+    ).astype(jnp.uint8).reshape(3 * G, B)
+    return jnp.moveaxis(packed, 0, 1)
 
 
 @functools.partial(
@@ -587,6 +593,104 @@ def viterbi_decode_grouped(gt: GroupedTrans, model: ModelArrays, ev: dict,
     path, logp = viterbi_traceback_grouped(gt, final_alpha, bps, ev["length"],
                                            unroll=tb_unroll)
     return {"path": path, "logp": logp}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("Tc", "with_path", "fwd_unroll", "tb_unroll",
+                     "compact_path"),
+)
+def viterbi_decode_grouped_tchunk(gt: GroupedTrans, model: ModelArrays,
+                                  ev: dict, Tc: int, with_path: bool = True,
+                                  fwd_unroll: int = 2, tb_unroll: int = 8,
+                                  compact_path: bool = False):
+    """Chunked-time grouped Viterbi decode as ONE program: C =
+    ceil(T/Tc) carry-linked inner scans hold the backpointers
+    chunk-by-chunk, then C reverse inner scans trace back one chunk at a
+    time.  The reverse pass's layout-conversion copy (the full-scan
+    program holds the whole bp tensor TWICE — the measured ~2.5x HBM
+    peak, CLAUDE.md) is thereby bounded to ONE chunk: peak HBM is
+    ~(1 + 1.5/C)x of the bp bytes, which admits ~2.5x the batch at the
+    same budget.  Measured 3.8x long-read decode throughput at
+    T=100352/B=32 vs the full-scan B=8 budget shape (PERFORMANCE.md
+    round 5; the multi-dispatch equivalent is tools/exp_seqchunk.py, the
+    cross-device one parallel/seqpar.py).
+
+    Bit-identical to viterbi_decode_grouped — same _grouped_step_core op
+    sequence, same masking, same compact 6-bit code packing (pinned by
+    tests/test_seqpar.py) — so the pipeline can select it per bucket
+    with no downstream change.  The chunk loop is a STATIC Python loop
+    (C = ceil(T/Tc) inner scans inlined into the one program; the last
+    chunk is simply shorter): an outer lax.scan was measured 30-55%
+    slower on hardware — its ys buffer costs an extra full-bp-tensor
+    write pass — while the unrolled form keeps each inner scan's ys as
+    its own buffer, matching the multi-dispatch chunking's speed in one
+    dispatch."""
+    n = model.level_mean.shape[-1]
+    K = gt.K
+    log_n = jnp.float32(math.log(n))
+    lengths = ev["length"]
+    B, T = ev["mean"].shape
+    bounds = [(t0, min(t0 + Tc, T)) for t0 in range(0, T, Tc)]
+
+    def fwd_chunk(alpha, lo, hi):
+        i_in = jnp.arange(lo, hi)
+        xs = (jnp.moveaxis(ev["mean"][:, lo:hi], 1, 0),
+              jnp.moveaxis(ev["stdv"][:, lo:hi], 1, 0),
+              jnp.moveaxis(ev["log_stdv"][:, lo:hi], 1, 0), i_in)
+
+        def fwd_inner(a, xi):
+            mean_t, stdv_t, log_stdv_t, t = xi
+            best, bp = _grouped_step_core(gt, a)
+            em = log_emission(model, mean_t, stdv_t, log_stdv_t)
+            first = t == 0
+            new_alpha = jnp.where(first, em - log_n, best + em)
+            bp = jnp.where(first, jnp.uint8(0), bp)
+            active = (t < lengths)[:, None] | first
+            return jnp.where(active, new_alpha, a), bp
+
+        return jax.lax.scan(fwd_inner, alpha, xs, unroll=fwd_unroll)
+
+    alpha = jnp.zeros((B, n), jnp.float32)
+    bps = []
+    for lo, hi in bounds:
+        alpha, bps_c = fwd_chunk(alpha, lo, hi)
+        bps.append(bps_c)
+    logp = jnp.max(alpha, axis=-1)
+    if not with_path:
+        return {"logp": logp}
+    end_state = jnp.argmax(alpha, axis=-1).astype(jnp.int32)
+
+    def tb_chunk(s, bps_c, lo, hi):
+        def tb_inner(si, xi):
+            bp_t, t = xi
+            s_eff = jnp.where(t == lengths - 1, end_state, si)
+            k = _lookup_bp(bp_t, s_eff)
+            s_prev = grouped_from_state(k.astype(jnp.uint8), s_eff, K)
+            # t == 0 is the dummy bp row: pass s_eff through so the
+            # final carry is the state at event 0 (path0)
+            real = (t >= 1) & (t <= lengths - 1)
+            s_new = jnp.where(real, s_prev, s_eff)
+            if compact_path:
+                move = (k >> 6).astype(jnp.int32)
+                code = jnp.where(real, (move << 4) | (s_eff & 15), 0)
+                return s_new, code.astype(jnp.uint8)
+            return s_new, s_eff.astype(jnp.uint16)
+
+        return jax.lax.scan(tb_inner, s, (bps_c, jnp.arange(lo, hi)),
+                            reverse=True, unroll=tb_unroll)
+
+    s = end_state
+    ys_chunks = [None] * len(bounds)
+    for c in reversed(range(len(bounds))):
+        lo, hi = bounds[c]
+        s, ys_chunks[c] = tb_chunk(s, bps[c], lo, hi)
+    s0 = s
+    ys_flat = jnp.concatenate(ys_chunks, axis=0)[1:]  # rows t = 1..T-1
+    if compact_path:
+        return {"path0": s0, "codes": _pack_codes(ys_flat), "logp": logp}
+    path = jnp.concatenate([s0[None].astype(jnp.uint16), ys_flat], axis=0)
+    return {"path": jnp.moveaxis(path, 0, 1), "logp": logp}
 
 
 def viterbi_forward(ops: TransOps, model: ModelArrays, ev: dict,

@@ -31,7 +31,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import hmm
@@ -66,7 +66,7 @@ def viterbi_decode_seqpar(gt, model, ev: dict, mesh: Mesh,
         shard_map, mesh=mesh,
         in_specs=(seq, seq, seq, rep, rep, rep),
         out_specs=(P(axis, None), rep),
-        check_rep=False,
+        check_vma=False,
     )
     def run(mean, stdv, log_stdv, lengths, gt_, model_):
         rank = lax.axis_index(axis)

@@ -71,13 +71,33 @@ def _floor_align(b: int, align: int) -> int:
     return max(align, (b // align) * align) if align > 1 else b
 
 
+def path_bp_budget(T: int) -> int:
+    """Backpointer-byte budget for a with_path GROUPED decode chunk at
+    bucket T.  Below TCHUNK_MIN_T the full-scan program's ~2.5x peak
+    model applies (BP_MEM_BUDGET).  At or above it, dispatch selects the
+    chunked-time program (ops.hmm.viterbi_decode_grouped_tchunk), whose
+    peak is ~(1 + 1.5/C)x of the bp bytes — holding the same
+    2.5x*BP_MEM_BUDGET peak allowance, the admissible bp bytes grow
+    ~2-2.5x, and with them the long-read batch (measured 3.8x decode
+    throughput at T=100352, PERFORMANCE.md round 5)."""
+    if T >= batching.TCHUNK_MIN_T:
+        C = -(-T // batching.tchunk_len(T))
+        return int(BP_MEM_BUDGET * 2.5 / (1 + 1.5 / C))
+    return BP_MEM_BUDGET
+
+
 def path_chunk_batches(cfg: Config, T: int, align: int = 1):
     """Every batch size a path-decode chunk can run at for bucket T:
-    the full-chunk cap (_DecodeDriver._full_batch with_path=True) plus
-    the leftover quant rungs below it (_flush -> make_buckets quant)."""
+    the full-chunk cap (_DecodeDriver._full_batch with_path=True, using
+    the chunked-program budget for long buckets) plus the leftover quant
+    rungs below it (_flush -> make_buckets quant, which keeps the
+    conservative BP_MEM_BUDGET cap) and the sparse-kind cap (sparse
+    chunks always run the full-scan generic kernel)."""
     n = kmer.n_states(cfg.kmer_size)
-    cap = batching.batch_size_for(T, cfg.bucket_max_batch, BP_MEM_BUDGET, n)
-    rungs = {q for q in PATH_QUANT if q <= cap} | {cap}
+    cap = batching.batch_size_for(T, cfg.bucket_max_batch,
+                                  path_bp_budget(T), n)
+    legacy = batching.batch_size_for(T, cfg.bucket_max_batch, BP_MEM_BUDGET, n)
+    rungs = {q for q in PATH_QUANT if q <= cap} | {cap, legacy}
     return sorted({_floor_align(b, align) for b in rungs})
 
 

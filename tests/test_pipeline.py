@@ -815,6 +815,43 @@ def test_pipeline_long_read_above_8k(models, tmp_path):
     assert ident > 0.6, ident
 
 
+def test_pipeline_tchunk_path_equals_fullscan(models, tmp_path, monkeypatch):
+    """Force the chunked-time decode program (production path for buckets
+    >= TCHUNK_MIN_T) onto small buckets and assert the whole-pipeline
+    FASTA is byte-identical to the full-scan run — the driver-level pin
+    that program selection (basecall._dispatch_decode_chunk) plus the
+    raised long-bucket cap (shapes.path_bp_budget) change nothing but
+    speed/memory.  Kernel-level bit-exactness lives in test_seqpar."""
+    import io
+
+    from nanocall_tpu import batching, output
+
+    d = tmp_path / "reads"
+    d.mkdir()
+    rng = np.random.default_rng(21)
+    for i, n_ev in enumerate((300, 450, 500, 380)):
+        simulate.write_sim_fast5(
+            d / f"r{i}.fast5", models, "r73.t.006",
+            "r73.c.p1.006" if i == 1 else None, n_ev, rng,
+            read_id=f"r{i}", noise_scale=0.5,
+        )
+
+    def run():
+        cfg = Config(pore="r73", train=False).apply_pore_preset()
+        files = read_pipeline.init_files([str(d)])
+        summaries = [read_pipeline.summarize(f, models, cfg) for f in files]
+        results = basecall.basecall_reads(summaries, models, cfg)
+        buf = io.StringIO()
+        output.write_results_fasta(buf, results)
+        return buf.getvalue()
+
+    full = run()
+    monkeypatch.setattr(batching, "TCHUNK_MIN_T", 256)
+    monkeypatch.setattr(batching, "TCHUNK_LEN", 128)
+    chunked = run()
+    assert full and full == chunked
+
+
 def test_pipeline_keeps_reads_with_no_training_groups(models, tmp_path):
     """A read can be decodable yet produce ZERO training groups: joint
     (double-strand) scaling with one strand filtered below min_ed_events

@@ -89,6 +89,45 @@ def test_chunked_forward_traceback_exact(decode_case):
             equal_nan=True), C
 
 
+@pytest.mark.parametrize("Tc", [16, 32, 48, 112, 128])
+def test_tchunk_single_program_exact(decode_case, Tc):
+    """The one-program chunked-time decoder (outer scan over chunks)
+    reproduces the full-scan program bit-for-bit — paths, logp, AND the
+    compact 6-bit packed codes byte stream, so the pipeline can swap it
+    in per bucket with no downstream change."""
+    gt, model, ev, ref = decode_case
+    refc = hmm.viterbi_decode_grouped(gt, model, ev, compact_path=True)
+    ch = hmm.viterbi_decode_grouped_tchunk(gt, model, ev, Tc=Tc)
+    chc = hmm.viterbi_decode_grouped_tchunk(gt, model, ev, Tc=Tc,
+                                            compact_path=True)
+    chs = hmm.viterbi_decode_grouped_tchunk(gt, model, ev, Tc=Tc,
+                                            with_path=False)
+    assert np.array_equal(np.asarray(ch["path"]), np.asarray(ref["path"]))
+    assert np.array_equal(np.asarray(ch["logp"]), np.asarray(ref["logp"]))
+    assert np.array_equal(np.asarray(chc["path0"]), np.asarray(refc["path0"]))
+    assert np.array_equal(np.asarray(chc["codes"]), np.asarray(refc["codes"]))
+    assert np.array_equal(np.asarray(chs["logp"]), np.asarray(ref["logp"]))
+
+
+def test_tchunk_len_policy():
+    from nanocall_tpu import batching, shapes
+
+    # short buckets: no chunking
+    assert batching.tchunk_len(4096) == 4096
+    assert batching.tchunk_len(8192) == 8192
+    # long buckets: fixed chunk length, last chunk simply shorter
+    assert batching.tchunk_len(100352) == batching.TCHUNK_LEN
+    assert batching.tchunk_len(2048 * 47) == batching.TCHUNK_LEN
+    # the chunked budget only engages at the dispatch threshold, and
+    # always admits at least the full-scan batch
+    assert shapes.path_bp_budget(8192) == shapes.BP_MEM_BUDGET
+    assert shapes.path_bp_budget(16384) == shapes.BP_MEM_BUDGET
+    for k in range(16, 51):
+        T = 2048 * k
+        # C >= 4 past the threshold: peak factor <= 1.375 -> >= 1.8x bp
+        assert shapes.path_bp_budget(T) >= int(shapes.BP_MEM_BUDGET * 1.8)
+
+
 @pytest.mark.parametrize("n_blocks", [1, 2, 4, 8])
 def test_seqpar_decode_exact_8way(decode_case, n_blocks):
     """Pipelined sequence-parallel decode over the 8-device CPU mesh is

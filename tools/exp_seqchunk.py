@@ -121,10 +121,23 @@ def main():
                   f"{type(e).__name__}: {str(e)[:200]}", flush=True)
             return None
 
+    from nanocall_tpu import batching
+
+    Tc = batching.tchunk_len(T_TOTAL)
+
+    def run_tchunk(ev):
+        out = hmm.viterbi_decode_grouped_tchunk(
+            gt, model, ev, Tc=Tc, compact_path=True)
+        return np.asarray(out["logp"])
+
     bench("full-scan (today)", run_full, make_ev(8))
     bench("chunked C=8", run_chunked, make_ev(8))
     bench("chunked C=8", run_chunked, make_ev(16))
     bench("chunked C=8", run_chunked, make_ev(32))
+    print(f"tchunk single-program: Tc={Tc} C={T_TOTAL // Tc}", flush=True)
+    bench("tchunk 1-program", run_tchunk, make_ev(8))
+    bench("tchunk 1-program", run_tchunk, make_ev(16))
+    bench("tchunk 1-program", run_tchunk, make_ev(32))
 
 
 if __name__ == "__main__":
