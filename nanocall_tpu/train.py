@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,18 @@ import numpy as np
 
 from . import kmer, transitions
 from .ops import hmm
+
+# Scan unroll factors for the fused EM round (read at TRACE time, like
+# _FORCE_LEGACY; env-overridable so tools/exp_em_unroll.py can A/B them
+# in fresh processes).  Hardware A/B at the production phase-1 shape
+# (round 5): fwd 1->2 wins 1.25x (52.3 -> 41.7 ms/round; 4 ties 2), bwd
+# unroll loses at every setting (bwd=2: 56.5; fwd=2,bwd=2: 50.0) — the
+# bwd body is large enough that its pipelines are already full and
+# unrolling only adds register pressure.  Unrolling does not change
+# per-step op order, so results stay bit-identical (test_train pins
+# fused-vs-legacy agreement at these defaults).
+EM_FWD_UNROLL = int(os.environ.get("NANOCALL_EM_FWD_UNROLL", "2"))
+EM_BWD_UNROLL = int(os.environ.get("NANOCALL_EM_BWD_UNROLL", "1"))
 
 PIVOT_EPS = 1e-7  # Parameter_Trainer.hpp:355
 ST_CLAMP_LO = 0.05  # Parameter_Trainer.hpp:518-525
@@ -293,7 +306,8 @@ def _fused_bwd_mstats(gtf, model, ev, lpd, alphas, W, x_unc, t_start,
           xs_u[: T - 1], ts_u[: T - 1], ys_u[: T - 1],
           jnp.arange(T - 1))
     (final_beta, scal, st3), _ = jax.lax.scan(
-        bwd_step, (beta_init, scal0, st0), xs, reverse=True)
+        bwd_step, (beta_init, scal0, st0), xs, reverse=True,
+        unroll=EM_BWD_UNROLL)
     del final_beta
     names = ("A00", "A01", "A11", "A02", "A12", "A22", "B0", "B1", "B2",
              "D", "Vn", "Vd", "Up", "Ne")
@@ -426,7 +440,8 @@ def train_one_round(
     use_fused = (default_ops is None and not _FORCE_LEGACY
                  and (train_scaling or train_transitions))
     if use_fused:
-        alphas_t, _, lpd = hmm.fwbw_grouped_forward(gtf, model_flat, ev_flat)
+        alphas_t, _, lpd = hmm.fwbw_grouped_forward(
+            gtf, model_flat, ev_flat, unroll=EM_FWD_UNROLL)
         valid = ev["valid"].reshape(B)
         strand_b = strand.reshape(B)
         if train_scaling:
