@@ -336,12 +336,13 @@ class _EMDriver:
         self._t0 = _time.time()
 
     def _bytes_per_cell(self) -> int:
-        # EM chunks materialize alpha+beta+em as float32 (G*S, T, n)
-        # tensors — 4 seqs x 3 tensors x 4 B = 48 bytes per cell per
-        # group, NOT the decode path's 1-byte backpointers; a --trans
-        # loaded table doubles the E-step (both kernels computed, selected
-        # per sequence)
-        return 96 if self.default_ops is not None else 48
+        # Default path = the FUSED streaming round: only the alphas are
+        # materialized as float32 (G*S, T, n) — 4 seqs x 1 tensor x 4 B
+        # = 16 bytes per cell per group (train._fused_bwd_mstats).  A
+        # --trans loaded table forces the legacy materialize-then-reduce
+        # round (alpha+beta+em = 48) AND doubles the E-step (both
+        # kernels computed, selected per sequence) = 96.
+        return 96 if self.default_ops is not None else 16
 
     def _full_batch(self, T: int) -> int:
         # At the default scaling_num_events (T<=128 bucket) this still
@@ -1333,14 +1334,18 @@ class _DecodeDriver:
             # measured SLOWER end-to-end (coarser granularity delays the
             # first winners' path dispatch more than fewer fetch round
             # trips gain; Config.score_max_batch)
-            # Grouped long-bucket path chunks dispatch the chunked-time
+            # Grouped long-bucket PATH chunks dispatch the chunked-time
             # program, whose smaller HBM peak admits a larger batch
-            # (shapes.path_bp_budget); sparse chunks keep the full-scan
-            # generic kernel and its conservative budget.
+            # (shapes.path_bp_budget).  Sparse chunks keep the full-scan
+            # generic kernel and its conservative budget — and so do
+            # score chunks sharing this branch (score_max_batch=0): they
+            # run the forward-only program (no bp tensor either way), so
+            # the cap is a granularity heuristic, and enlarging it would
+            # re-create the measured slower-end-to-end coarseness above.
             from .shapes import path_bp_budget
 
-            budget = (BP_MEM_BUDGET if sparse_kind
-                      else path_bp_budget(T))
+            budget = (path_bp_budget(T)
+                      if with_path and not sparse_kind else BP_MEM_BUDGET)
             cap = batching.batch_size_for(
                 T, self.cfg.bucket_max_batch, budget, self.n
             )

@@ -435,7 +435,8 @@ def viterbi_forward_grouped_chunk(gt: GroupedTrans, model: ModelArrays,
 
 
 def viterbi_traceback_grouped_chunk(gt: GroupedTrans, end_state, carry_state,
-                                    bps, t0, lengths, unroll: int = 8):
+                                    bps, t0, lengths, unroll: int = 8,
+                                    compact: bool = False):
     """Reverse-scan one bp chunk of a T-chunked decode.
 
     bps (Tc, B, n) uint8 rows cover global events [t0, t0+Tc) (the
@@ -447,10 +448,14 @@ def viterbi_traceback_grouped_chunk(gt: GroupedTrans, end_state, carry_state,
     clamp, matching viterbi_traceback_grouped).
 
     Returns (carry_out (B,) int32 — feed as carry_state of the chunk to
-    the LEFT, garbage after the t0 == 0 chunk — and states (Tc, B) uint16,
-    row i = decoded state at global event t0+i).  Concatenating chunk
-    state rows right-to-left reproduces the full kernel's path bit-exactly,
-    including the clamped suffix past each read's length.
+    the LEFT; after the t0 == 0 chunk it is the state at event 0, i.e.
+    path0, because the dummy t == 0 bp row is passed through — and ys
+    (Tc, B): uint16 decoded states (row i = global event t0+i), or with
+    compact=True the 6-bit per-event codes of viterbi_traceback_grouped
+    (row t0 == 0 emits code 0; drop it before packing).  Concatenating
+    chunk rows right-to-left reproduces the full kernel's path — and its
+    packed code byte stream — bit-exactly, including the clamped suffix
+    past each read's length.
     """
     Tm, B, n = bps.shape
     K = gt.K
@@ -462,8 +467,14 @@ def viterbi_traceback_grouped_chunk(gt: GroupedTrans, end_state, carry_state,
         s_eff = jnp.where(t == lengths - 1, end_state, s)
         k = _lookup_bp(bp_t, s_eff)
         s_prev = grouped_from_state(k.astype(jnp.uint8), s_eff, K)
-        real = t <= lengths - 1
+        # t == 0 is the dummy bp row: pass s_eff through so carry_out of
+        # the first chunk is the state at event 0 (path0)
+        real = (t >= 1) & (t <= lengths - 1)
         s_new = jnp.where(real, s_prev, s_eff)
+        if compact:
+            move = (k >> 6).astype(jnp.int32)
+            code = jnp.where(real, (move << 4) | (s_eff & 15), 0)
+            return s_new, code.astype(jnp.uint8)
         return s_new, s_eff.astype(jnp.uint16)
 
     xs = (bps, jnp.arange(Tm))
@@ -627,65 +638,31 @@ def viterbi_decode_grouped_tchunk(gt: GroupedTrans, model: ModelArrays,
     its own buffer, matching the multi-dispatch chunking's speed in one
     dispatch."""
     n = model.level_mean.shape[-1]
-    K = gt.K
-    log_n = jnp.float32(math.log(n))
     lengths = ev["length"]
     B, T = ev["mean"].shape
     bounds = [(t0, min(t0 + Tc, T)) for t0 in range(0, T, Tc)]
 
-    def fwd_chunk(alpha, lo, hi):
-        i_in = jnp.arange(lo, hi)
-        xs = (jnp.moveaxis(ev["mean"][:, lo:hi], 1, 0),
-              jnp.moveaxis(ev["stdv"][:, lo:hi], 1, 0),
-              jnp.moveaxis(ev["log_stdv"][:, lo:hi], 1, 0), i_in)
-
-        def fwd_inner(a, xi):
-            mean_t, stdv_t, log_stdv_t, t = xi
-            best, bp = _grouped_step_core(gt, a)
-            em = log_emission(model, mean_t, stdv_t, log_stdv_t)
-            first = t == 0
-            new_alpha = jnp.where(first, em - log_n, best + em)
-            bp = jnp.where(first, jnp.uint8(0), bp)
-            active = (t < lengths)[:, None] | first
-            return jnp.where(active, new_alpha, a), bp
-
-        return jax.lax.scan(fwd_inner, alpha, xs, unroll=fwd_unroll)
-
     alpha = jnp.zeros((B, n), jnp.float32)
     bps = []
     for lo, hi in bounds:
-        alpha, bps_c = fwd_chunk(alpha, lo, hi)
+        evc = {"mean": ev["mean"][:, lo:hi], "stdv": ev["stdv"][:, lo:hi],
+               "log_stdv": ev["log_stdv"][:, lo:hi], "length": lengths}
+        alpha, bps_c = viterbi_forward_grouped_chunk(
+            gt, model, evc, alpha, lo, unroll=fwd_unroll)
         bps.append(bps_c)
     logp = jnp.max(alpha, axis=-1)
     if not with_path:
         return {"logp": logp}
     end_state = jnp.argmax(alpha, axis=-1).astype(jnp.int32)
 
-    def tb_chunk(s, bps_c, lo, hi):
-        def tb_inner(si, xi):
-            bp_t, t = xi
-            s_eff = jnp.where(t == lengths - 1, end_state, si)
-            k = _lookup_bp(bp_t, s_eff)
-            s_prev = grouped_from_state(k.astype(jnp.uint8), s_eff, K)
-            # t == 0 is the dummy bp row: pass s_eff through so the
-            # final carry is the state at event 0 (path0)
-            real = (t >= 1) & (t <= lengths - 1)
-            s_new = jnp.where(real, s_prev, s_eff)
-            if compact_path:
-                move = (k >> 6).astype(jnp.int32)
-                code = jnp.where(real, (move << 4) | (s_eff & 15), 0)
-                return s_new, code.astype(jnp.uint8)
-            return s_new, s_eff.astype(jnp.uint16)
-
-        return jax.lax.scan(tb_inner, s, (bps_c, jnp.arange(lo, hi)),
-                            reverse=True, unroll=tb_unroll)
-
     s = end_state
     ys_chunks = [None] * len(bounds)
     for c in reversed(range(len(bounds))):
-        lo, hi = bounds[c]
-        s, ys_chunks[c] = tb_chunk(s, bps[c], lo, hi)
-    s0 = s
+        lo, _hi = bounds[c]
+        s, ys_chunks[c] = viterbi_traceback_grouped_chunk(
+            gt, end_state, s, bps[c], lo, lengths, unroll=tb_unroll,
+            compact=compact_path)
+    s0 = s  # = state at event 0 (the t == 0 dummy row passes through)
     ys_flat = jnp.concatenate(ys_chunks, axis=0)[1:]  # rows t = 1..T-1
     if compact_path:
         return {"path0": s0, "codes": _pack_codes(ys_flat), "logp": logp}
@@ -1004,13 +981,13 @@ def fwbw_grouped(gtf: GroupedTransFull, model: ModelArrays, ev: dict,
     n = model.level_mean.shape[-1]
     K = gtf.K
     n4, n16 = n // 4, n // 16
-    log_n = jnp.float32(math.log(n))
     lengths = ev["length"]
     B, T = ev["mean"].shape
+    # backward-only body: the forward half (which consumed masks["S5"]
+    # and log n) lives in fwbw_grouped_forward
     masks = tm.grouped_correction_masks(K)
     mH = jnp.asarray(masks["H"])
     mP2 = jnp.asarray(masks["P2mH"])
-    mS5 = jnp.asarray(masks["S5"])
     mS5T = jnp.asarray(masks["S5T"])
 
     e_stay = jnp.exp(gtf.stay_lp)
@@ -1027,6 +1004,10 @@ def fwbw_grouped(gtf: GroupedTransFull, model: ModelArrays, ev: dict,
     # measured) — default 1 keeps results bit-stable AND the program small.
     # (Viterbi's max-plus scan has no such drift: path equality across
     # unroll variants is hardware-verified in tools/exp_decode.py.)
+    # NOTE: the FUSED EM round's call of fwbw_grouped_forward is a
+    # different story — there the scan also materializes the alpha ys,
+    # and unroll=2 measured 1.25x (train.EM_FWD_UNROLL's comment); the
+    # TPU low-bit lpd caveat applies to it identically.
     alphas, ems, log_pr_data = fwbw_grouped_forward(gtf, model, ev,
                                                     unroll=unroll)
 

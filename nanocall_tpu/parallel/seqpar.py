@@ -54,7 +54,11 @@ def viterbi_decode_seqpar(gt, model, ev: dict, mesh: Mesh,
     n = model.level_mean.shape[-1]
     if T % D:
         raise ValueError(f"T={T} not divisible by mesh axis {axis}={D}")
-    M = n_blocks or min(B, D)
+    if n_blocks is None:
+        # deepest pipeline that divides B, capped at D (more blocks than
+        # devices only adds microsteps without filling more stages)
+        n_blocks = max(m for m in range(1, min(B, D) + 1) if B % m == 0)
+    M = n_blocks
     if B % M:
         raise ValueError(f"B={B} not divisible by n_blocks={M}")
     b = B // M

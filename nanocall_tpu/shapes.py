@@ -150,7 +150,10 @@ def train_chunk_batches(cfg: Config, T: int | None = None, align: int = 1,
     if T is None:
         T = batching.bucket_length(max(1, cfg.scaling_num_events // 2))
     n = kmer.n_states(cfg.kmer_size)
-    bpc = 96 if with_trans_table else 48
+    # fused streaming round materializes only alphas (16 B/cell);
+    # --trans forces the legacy round with a doubled E-step (96) — must
+    # mirror basecall._EMDriver._bytes_per_cell
+    bpc = 96 if with_trans_table else 16
     cap = batching.batch_size_for(T, cfg.train_group_batch, BP_MEM_BUDGET, n,
                                   bytes_per_cell=bpc)
     rungs = {q for q in PATH_QUANT if q <= cap} | {cap}

@@ -46,9 +46,14 @@ from .ops import hmm
 # (round 5): fwd 1->2 wins 1.25x (52.3 -> 41.7 ms/round; 4 ties 2), bwd
 # unroll loses at every setting (bwd=2: 56.5; fwd=2,bwd=2: 50.0) — the
 # bwd body is large enough that its pipelines are already full and
-# unrolling only adds register pressure.  Unrolling does not change
-# per-step op order, so results stay bit-identical (test_train pins
-# fused-vs-legacy agreement at these defaults).
+# unrolling only adds register pressure.  Unrolling does not change the
+# per-step op ORDER: on CPU results are bit-identical (test_train +
+# whole-pipeline FASTA verified unchanged).  On TPU, XLA's fusion of the
+# unrolled lse scan reassociates lpd's low bits vs unroll=1 (measured;
+# see the note in hmm.fwbw_grouped) — a TPU-variant-vs-TPU-variant
+# drift of the same class as the backend's own CPU-vs-TPU differences,
+# inside the documented WLS-amplification tolerance; the CPU-validated
+# reference-conformance contract is unaffected.
 EM_FWD_UNROLL = int(os.environ.get("NANOCALL_EM_FWD_UNROLL", "2"))
 EM_BWD_UNROLL = int(os.environ.get("NANOCALL_EM_BWD_UNROLL", "1"))
 

@@ -16,14 +16,20 @@ def test_decode_batch_cap_by_backpointer_budget():
 
 
 def test_em_chunk_sized_by_fwbw_tensors_not_backpointers():
-    """EM rows materialize alpha+beta+em (4 seqs x 3 float32 tensors = 48
-    B/cell).  A large --scaling-num-events must shrink the group count so
-    those tensors stay within budget, instead of OOMing (the old sizing
-    used the decode path's 1 B/cell and kept G=128 at any T)."""
+    """EM rows materialize the fused round's alphas (4 seqs x 1 float32
+    tensor = 16 B/cell; the legacy --trans path costs 96).  A large
+    --scaling-num-events must shrink the group count so that tensor stays
+    within budget, instead of OOMing (the old sizing used the decode
+    path's 1 B/cell and kept G=128 at any T)."""
     drv = _EMDriver([], {}, Config(scaling_num_events=4096))
     G = drv._full_batch(2048)
-    assert G * 4 * 2048 * 4096 * 4 * 3 <= BP_MEM_BUDGET
+    assert G * 4 * 2048 * 4096 * 4 <= BP_MEM_BUDGET
     assert G < 128
+    # --trans (legacy materialized round + doubled E-step) sizes 6x
+    # smaller chunks at the same bucket
+    drv_tr = _EMDriver([], {}, Config(scaling_num_events=4096))
+    drv_tr.default_ops = object()  # non-None marks the loaded-table path
+    assert drv_tr._full_batch(2048) <= max(1, G // 6)
     # the default workload shape is unchanged (compiled-shape stability):
     # scaling_num_events=200 -> T bucket 128 -> full 128-group chunks
     assert _EMDriver([], {}, Config())._full_batch(128) == 128
